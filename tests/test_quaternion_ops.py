@@ -1,0 +1,180 @@
+"""Parity tests: seld_tpu quaternion/DQ ops vs the torch CPU oracle (<=1e-5)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from seld_tpu.ops import (
+    dual_quaternion_conv,
+    dual_quaternion_linear,
+    hamilton_product,
+    q_normalize,
+    quaternion_conv,
+    quaternion_linear,
+    quaternion_transpose_conv,
+)
+from seld_tpu.ops.inits import component_init
+import jax
+
+from tests import torch_oracle as oracle
+
+
+def _mk_comps(rng, n, cin, cout, *kernel):
+    """Random components in torch layout (n, out, in, *k) and ours (n, *k, in, out)."""
+    t = rng.standard_normal((n, cout, cin, *kernel)).astype(np.float32)
+    axes = (0,) + tuple(range(3, 3 + len(kernel))) + (2, 1)
+    ours = np.transpose(t, axes)
+    return t, ours
+
+
+def _mk_lin_comps(rng, n, cin, cout):
+    t = rng.standard_normal((n, cin, cout)).astype(np.float32)
+    return t, t  # linear layout (in, out) matches
+
+
+@pytest.mark.parametrize("dilation", [1, 3])
+@pytest.mark.parametrize("bias", [False, True])
+def test_q_conv1d_parity(rng, dilation, bias):
+    B, Cin, Cout, T, k = 2, 8, 16, 50, 3
+    x = rng.standard_normal((B, Cin, T)).astype(np.float32)
+    tcomps, ours = _mk_comps(rng, 4, Cin // 4, Cout // 4, k)
+    b = rng.standard_normal(Cout).astype(np.float32) if bias else None
+    pad = ((k - 1) * dilation) // 2
+    ref = oracle.oracle_q_conv(
+        torch.tensor(x), [torch.tensor(c) for c in tcomps],
+        torch.tensor(b) if bias else None, 1, pad, dilation,
+    ).numpy()
+    got = quaternion_conv(
+        jnp.asarray(np.transpose(x, (0, 2, 1))), jnp.asarray(ours),
+        jnp.asarray(b) if bias else None, stride=1, padding=pad, dilation=dilation,
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 2, 1)), ref, atol=1e-5)
+
+
+def test_q_conv2d_parity(rng):
+    B, Cin, Cout, H, W, k = 2, 4, 8, 12, 10, 3
+    x = rng.standard_normal((B, Cin, H, W)).astype(np.float32)
+    tcomps, ours = _mk_comps(rng, 4, Cin // 4, Cout // 4, k, k)
+    ref = oracle.oracle_q_conv(
+        torch.tensor(x), [torch.tensor(c) for c in tcomps], None, 1, 1, 1
+    ).numpy()
+    got = quaternion_conv(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(ours), None, padding=1
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)), ref, atol=1e-5)
+
+
+def test_dq_conv1d_parity(rng):
+    B, Cin, Cout, T, k = 2, 8, 16, 40, 3
+    x = rng.standard_normal((B, Cin, T)).astype(np.float32)
+    tcomps, ours = _mk_comps(rng, 8, Cin // 8, Cout // 8, k)
+    ref = oracle.oracle_dq_conv(
+        torch.tensor(x), [torch.tensor(c) for c in tcomps], None, 1, 1, 1
+    ).numpy()
+    got = dual_quaternion_conv(
+        jnp.asarray(np.transpose(x, (0, 2, 1))), jnp.asarray(ours), None, padding=1
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 2, 1)), ref, atol=1e-5)
+
+
+def test_dq_conv2d_parity(rng):
+    B, Cin, Cout, H, W, k = 1, 8, 8, 9, 11, 3
+    x = rng.standard_normal((B, Cin, H, W)).astype(np.float32)
+    tcomps, ours = _mk_comps(rng, 8, Cin // 8, Cout // 8, k, k)
+    ref = oracle.oracle_dq_conv(
+        torch.tensor(x), [torch.tensor(c) for c in tcomps], None, 1, 1, 1
+    ).numpy()
+    got = dual_quaternion_conv(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(ours), None, padding=1
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_q_linear_parity(rng, bias):
+    B, Cin, Cout = 6, 16, 8
+    x = rng.standard_normal((B, Cin)).astype(np.float32)
+    tcomps, ours = _mk_lin_comps(rng, 4, Cin // 4, Cout // 4)
+    b = rng.standard_normal(Cout).astype(np.float32) if bias else None
+    ref = oracle.oracle_q_linear(
+        torch.tensor(x), [torch.tensor(c) for c in tcomps], torch.tensor(b) if bias else None
+    ).numpy()
+    got = quaternion_linear(jnp.asarray(x), jnp.asarray(ours), jnp.asarray(b) if bias else None)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_dq_linear_parity_transposed_table(rng):
+    """The DQ linear must reproduce the reference's swapped-cat-dims quirk."""
+    B, Cin, Cout = 5, 16, 24
+    x = rng.standard_normal((B, Cin)).astype(np.float32)
+    tcomps, ours = _mk_lin_comps(rng, 8, Cin // 8, Cout // 8)
+    ref = oracle.oracle_dq_linear(torch.tensor(x), [torch.tensor(c) for c in tcomps]).numpy()
+    got = dual_quaternion_linear(jnp.asarray(x), jnp.asarray(ours))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+    # and it must NOT equal the conv-orientation construction (quirk is real)
+    conv_w = oracle.dq_conv_weight(
+        [torch.tensor(c).T for c in tcomps[:4]],
+        [torch.tensor(c).T for c in tcomps[4:]],
+    )
+    alt = (torch.tensor(x) @ conv_w.T).numpy()
+    assert np.abs(alt - ref).max() > 1e-3
+
+
+def test_q_transpose_conv_parity(rng):
+    B, Cin, Cout, T, k, stride = 2, 8, 4, 20, 3, 2
+    x = rng.standard_normal((B, Cin, T)).astype(np.float32)
+    tcomps, ours = _mk_comps(rng, 4, Cout // 4, Cin // 4, k)  # transpose conv: (in, out, k)
+    w = oracle.q_conv_weight(*[torch.tensor(c) for c in tcomps])
+    ref = torch.nn.functional.conv_transpose1d(torch.tensor(x), w, None, stride, 1, 0).numpy()
+    # torch transpose-conv weight is (in, out, k); ours wants (4, k, in/4, out/4)
+    ours_t = np.transpose(
+        np.stack([c for c in tcomps]), (0, 3, 1, 2)
+    )
+    got = quaternion_transpose_conv(
+        jnp.asarray(np.transpose(x, (0, 2, 1))), jnp.asarray(ours_t), None,
+        stride=stride, padding=1, output_padding=0,
+    )
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 2, 1)), ref, atol=1e-5)
+
+
+def test_hamilton_product_identity(rng):
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    # identity quaternion (1, 0, 0, 0) per lane
+    e = np.zeros((3, 8), np.float32)
+    e[:, 0:2] = 1.0
+    out = hamilton_product(jnp.asarray(e), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+
+
+def test_q_normalize_unit(rng):
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    out = np.asarray(q_normalize(jnp.asarray(x)))
+    r, i, j, k = np.split(out, 4, axis=-1)
+    np.testing.assert_allclose(r * r + i * i + j * j + k * k, 1.0, atol=1e-3)
+
+
+def test_component_init_stats():
+    key = jax.random.PRNGKey(0)
+    w = component_init(key, (3, 64, 64), n_components=4, weight_init="quaternion")
+    assert w.shape == (4, 3, 64, 64)
+    s = 1.0 / np.sqrt(2 * (64 * 3 + 64 * 3))
+    # modulus uniform in (-s, s) -> component std below s
+    assert float(jnp.abs(w).max()) <= s + 1e-6
+    w8 = component_init(key, (16, 16), n_components=8)
+    assert w8.shape == (8, 16, 16)
+    assert float(jnp.std(w8[:4])) > 0 and float(jnp.std(w8[4:])) > 0
+
+
+def test_gradients_flow(rng):
+    """Autodiff through the assembled weight yields usable component grads."""
+    x = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((4, 3, 2, 4)).astype(np.float32))
+
+    def loss(c):
+        return jnp.sum(quaternion_conv(x, c, None, padding=1) ** 2)
+
+    g = jax.grad(loss)(comps)
+    assert g.shape == comps.shape
+    assert float(jnp.abs(g).sum()) > 0
