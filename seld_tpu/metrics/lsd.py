@@ -1,0 +1,129 @@
+"""L3DAS21 Task-2 location-sensitive detection (LSD) metric.
+
+Semantics match reference ``metrics.py:123-208``: per frame, a TRUE event is
+"matched" iff any PREDICTED event in the same frame has the same class AND
+cartesian distance < ``spatial_threshold``; then TP += matched,
+FN += len(true) - matched, FP += len(pred) - matched. The reference's edge
+behavior is preserved: frames with no true events contribute all predictions
+as FP; frames with no predictions contribute all trues as FN.
+
+Implementation is vectorized with numpy (the reference loops per frame per
+event pair); on 600-frame clips this is ~100x faster, and it stays on host —
+the metric is decode-heavy, not FLOP-heavy.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Tuple
+
+import numpy as np
+
+
+def _counts_per_frame(events: np.ndarray, n_frames: int) -> np.ndarray:
+    counts = np.zeros(n_frames, dtype=np.int64)
+    if len(events):
+        np.add.at(counts, events[:, 0].astype(np.int64), 1)
+    return counts
+
+
+def location_sensitive_detection(
+    pred,
+    true,
+    n_frames: int = 100,
+    spatial_threshold: float = 2.0,
+    from_csv: bool = False,
+    verbose: bool = False,
+) -> Tuple[int, int, int, float]:
+    """Returns (TP, FP, FN, F_score). Inputs are (N, 5) event arrays
+    ``[frame, class, x, y, z]`` or CSV paths when ``from_csv``."""
+    if from_csv:
+        import pandas as pd
+
+        pred = pd.read_csv(pred, sep=",", header=None).values
+        true = pd.read_csv(true, sep=",", header=None).values
+    pred = np.asarray(pred, dtype=np.float64).reshape(-1, 5) if len(np.atleast_1d(pred)) else np.empty((0, 5))
+    true = np.asarray(true, dtype=np.float64).reshape(-1, 5) if len(np.atleast_1d(true)) else np.empty((0, 5))
+
+    n_true = _counts_per_frame(true, n_frames)
+    n_pred = _counts_per_frame(pred, n_frames)
+
+    matched_per_frame = np.zeros(n_frames, dtype=np.int64)
+    if len(true) and len(pred):
+        # pairwise over all (true, pred): same frame, same class, close enough
+        same_frame = true[:, None, 0] == pred[None, :, 0]
+        same_class = true[:, None, 1] == pred[None, :, 1]
+        dist = np.linalg.norm(true[:, None, 2:5] - pred[None, :, 2:5], axis=-1)
+        match_any = np.any(same_frame & same_class & (dist < spatial_threshold), axis=1)
+        np.add.at(matched_per_frame, true[match_any, 0].astype(np.int64), 1)
+
+    # frames where both sides are nonempty use matched counts; one-sided
+    # frames dump everything into FP or FN (reference metrics.py:153-156)
+    both = (n_true > 0) & (n_pred > 0)
+    TP = int(matched_per_frame[both].sum())
+    FN = int((n_true[both] - matched_per_frame[both]).sum() + n_true[~both].sum())
+    FP = int((n_pred[both] - matched_per_frame[both]).sum() + n_pred[~both].sum())
+
+    eps = sys.float_info.epsilon
+    precision = TP / (TP + FP + eps)
+    recall = TP / (TP + FN + eps)
+    F_score = 2 * precision * recall / (precision + recall + eps)
+    if verbose:
+        print(f"TP {TP} FP {FP} FN {FN} F {F_score:.4f} P {precision:.4f} R {recall:.4f}")
+    return TP, FP, FN, F_score
+
+
+def sed_score_computation(
+    pred,
+    true,
+    n_frames: int = 100,
+    spatial_threshold: float = 2.0,
+    from_csv: bool = False,
+    verbose: bool = False,
+):
+    """Class-only variant (no spatial gate) + ER; sed_score = mean(1-F, ER)
+    (reference metrics.py:211-288)."""
+    if from_csv:
+        import pandas as pd
+
+        pred = pd.read_csv(pred, sep=",", header=None).values
+        true = pd.read_csv(true, sep=",", header=None).values
+    pred = np.asarray(pred, dtype=np.float64).reshape(-1, 5) if len(np.atleast_1d(pred)) else np.empty((0, 5))
+    true = np.asarray(true, dtype=np.float64).reshape(-1, 5) if len(np.atleast_1d(true)) else np.empty((0, 5))
+    # same machinery with an infinite spatial threshold == class-only matching
+    TP, FP, FN, F_score = location_sensitive_detection(
+        pred, true, n_frames, np.inf, from_csv=False, verbose=False
+    )
+    Nref, Nsys = TP + FN, TP + FP
+    ER = (max(Nref, Nsys) - TP) / (Nref + 0.0) if Nref else 0.0
+    sed_score = float(np.mean([1 - F_score, ER]))
+    if verbose:
+        print("SED score:", sed_score)
+    return TP, FP, FN, sed_score
+
+
+def compute_seld_metrics(
+    predicted_folder: str,
+    truth_folder: str,
+    n_frames: int = 100,
+    spatial_threshold: float = 0.3,
+) -> float:
+    """Aggregate F-score over folders of pred/truth CSVs (reference metrics.py:289-324)."""
+    eps = sys.float_info.epsilon
+    TP = FP = FN = 0
+    names = sorted(s for s in os.listdir(predicted_folder) if s.endswith(".csv"))
+    for name in names:
+        tp, fp, fn, _ = location_sensitive_detection(
+            os.path.join(predicted_folder, name),
+            os.path.join(truth_folder, name),
+            n_frames,
+            spatial_threshold,
+            from_csv=True,
+        )
+        TP += tp
+        FP += fp
+        FN += fn
+    precision = TP / (TP + FP + eps)
+    recall = TP / (TP + FN + eps)
+    return 2 * precision * recall / (precision + recall + eps)

@@ -1,0 +1,230 @@
+"""SELD-TCN building blocks: gated pre-activation ResBlock, TC block, CNN front-end.
+
+Channel-last re-designs of the reference blocks (reference model.py:53-322):
+the TCN works on (B, T, L) so 1x1 convs become MXU matmuls and dilated convs
+map to ``lax.conv_general_dilated`` with ``rhs_dilation``; the CNN front-end
+works on (B, F, T, C) NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.models.attention import MultiHeadAttention
+from seld_tpu.models.layers import (
+    BatchNorm,
+    SEBlock,
+    SpatialDropout1D,
+    make_conv,
+    max_pool_2d,
+    max_pool_time,
+)
+
+_BN_ON_TCN = {"BN", "BN_on_TCN", "BNonTCN"}
+_BN_ON_CNN = {"BN", "BN_on_CNN", "BNonCNN"}
+
+
+def dilation_schedule(D: Sequence, mode: str) -> List[int]:
+    """Expand the stack spec D into per-resblock dilations.
+
+    D entries are either explicit dilation lists or counts expanded with the
+    fibonacci (1,1,2,3,5,...) or exponential (2**d) rule
+    (reference model.py:146-174).
+    """
+    out: List[int] = []
+    for n_resblock in D:
+        if isinstance(n_resblock, (list, tuple)):
+            out.extend(int(d) for d in n_resblock)
+        else:
+            prev1, prev2 = 1, 0
+            for d in range(int(n_resblock)):
+                if mode == "fibonacci":
+                    if d == 0:
+                        dil = 1
+                    else:
+                        dil = prev1 + prev2
+                        prev2, prev1 = prev1, dil
+                else:
+                    dil = 2 ** d
+                out.append(dil)
+    return out
+
+
+def receptive_field(D: Sequence, kernel_size: int, dilation_mode: str):
+    """Analytic receptive field: 1 + sum((k-1)*dilation) (reference model.py:482-517)."""
+    dils = dilation_schedule(D, dilation_mode)
+    return 1 + (kernel_size - 1) * int(np.sum(dils)), len(dils)
+
+
+class ResBlock(nn.Module):
+    """Gated pre-activation residual block on (B, T, L).
+
+    preact BN+tanh -> parallel dilated convs (filter, gate) L->G -> BN each ->
+    tanh(f)*sigmoid(g) -> spatial dropout -> 1x1 skip G->U and 1x1 residual
+    G->L; returns (x + residual, skip). Mirrors reference model.py:53-132,
+    including the quirk that the single pre-activation BN output feeds both
+    branches (the reference's ``batch_gate1`` is allocated but unused).
+    """
+
+    domain: str = "DQ"
+    G: int = 128
+    U: int = 128
+    kernel_size: int = 3
+    dilation: int = 1
+    stride: int = 1
+    spatial_dropout_rate: float = 0.5
+    use_bias: bool = True
+    batch_norm: str = "BN"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        L = x.shape[-1]
+        padding = ((self.kernel_size - 1) * self.dilation) // 2
+        h = x
+        if self.batch_norm in _BN_ON_TCN:
+            h = BatchNorm(name="bn_pre")(h, use_running_average=not train)
+            h = jnp.tanh(h)
+        y_f = make_conv(
+            self.domain, self.G, self.kernel_size, 1, stride=self.stride,
+            padding=padding, dilation=self.dilation, use_bias=self.use_bias,
+            name="conv_filter",
+        )(h)
+        y_g = make_conv(
+            self.domain, self.G, self.kernel_size, 1, stride=self.stride,
+            padding=padding, dilation=self.dilation, use_bias=self.use_bias,
+            name="conv_gate",
+        )(h)
+        if self.batch_norm in _BN_ON_TCN:
+            y_f = BatchNorm(name="bn_filter")(y_f, use_running_average=not train)
+            y_g = BatchNorm(name="bn_gate")(y_g, use_running_average=not train)
+        y = jnp.tanh(y_f) * nn.sigmoid(y_g)
+        if self.spatial_dropout_rate != 0:
+            y = SpatialDropout1D(self.spatial_dropout_rate)(y, deterministic=not train)
+        y_skip = make_conv(
+            self.domain, self.U, 1, 1, use_bias=self.use_bias, name="conv_skip"
+        )(y)
+        y_res = make_conv(self.domain, L, 1, 1, use_bias=self.use_bias, name="conv_res")(y)
+        return h + y_res, y_skip
+
+
+class TCBlock(nn.Module):
+    """Dilated TCN stack + head convs + multi-head attention on (B, T, L).
+
+    Mirrors reference model.py:134-232: resblocks accumulate skip outputs
+    which are summed, then ReLU -> pool -> conv1 -> MHA(8 heads) -> ReLU ->
+    pool -> conv2 -> tanh -> pool (time pooling only when pool_time == 'TCN').
+    """
+
+    domain: str = "DQ"
+    G: int = 128
+    U: int = 128
+    V: Sequence[int] = (128, 128)
+    V_kernel_size: int = 3
+    pool_size: Sequence[Sequence[int]] = ((8, 2), (8, 2), (2, 2))
+    D: Sequence = (10,)
+    spatial_dropout_rate: float = 0.5
+    use_bias: bool = True
+    dilation_mode: str = "fibonacci"
+    pool_time: str = "TCN"
+    batch_norm: str = "BN"
+    kernel_size_dilated_conv: int = 3
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skip_sum = None
+        for idx, dil in enumerate(dilation_schedule(self.D, self.dilation_mode)):
+            x, skip = ResBlock(
+                domain=self.domain, G=self.G, U=self.U,
+                kernel_size=self.kernel_size_dilated_conv, dilation=dil,
+                spatial_dropout_rate=self.spatial_dropout_rate,
+                use_bias=self.use_bias, batch_norm=self.batch_norm,
+                name=f"resblock_{idx}",
+            )(x, train=train)
+            skip_sum = skip if skip_sum is None else skip_sum + skip
+        out = nn.relu(skip_sum)
+        if self.pool_time == "TCN":
+            out = max_pool_time(out, self.pool_size[0][1])
+        out = make_conv(
+            self.domain, self.V[0], self.V_kernel_size, 1, padding=1,
+            use_bias=self.use_bias, name="conv1",
+        )(out)
+        out = MultiHeadAttention(
+            embed_size=self.V[0], num_heads=8, impl=self.attention_impl, name="attention"
+        )(out, out, out)
+        out = nn.relu(out)
+        if self.pool_time == "TCN":
+            out = max_pool_time(out, self.pool_size[1][1])
+        out = make_conv(
+            self.domain, self.V[1], self.V_kernel_size, 1, padding=1,
+            use_bias=self.use_bias, name="conv2",
+        )(out)
+        out = jnp.tanh(out)
+        if self.pool_time == "TCN":
+            out = max_pool_time(out, self.pool_size[2][1])
+        return out
+
+
+class ConvTCBlock(nn.Module):
+    """CNN front-end + TCN on (B, F, T, C) -> (B, T_pooled, V[-1]).
+
+    Mirrors reference model.py:234-322: three [conv2d k3 p1 -> (BN) -> ReLU ->
+    MaxPool2d([p_freq, p_time or 1]) -> Dropout] blocks, then the (C, F')
+    planes are flattened channel-major into the TCN input width
+    L = cnn_filters[-1] * F' (matching the reference's permute+reshape
+    order at model.py:302-310 so weights map one-to-one).
+    """
+
+    domain: str = "DQ"
+    cnn_filters: Sequence[int] = (64, 64, 64)
+    kernel_size_cnn_blocks: int = 3
+    pool_size: Sequence[Sequence[int]] = ((8, 2), (8, 2), (2, 2))
+    pool_time: str = "TCN"
+    D: Sequence = (10,)
+    dilation_mode: str = "fibonacci"
+    G: int = 128
+    U: int = 128
+    kernel_size_dilated_conv: int = 3
+    spatial_dropout_rate: float = 0.5
+    V: Sequence[int] = (128, 128)
+    V_kernel_size: int = 3
+    dropout_perc: float = 0.3
+    use_bias: bool = True
+    batch_norm: str = "noBN"
+    use_se_block: bool = False
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, F, T, C)
+        for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
+            pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
+            x = make_conv(
+                self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
+                use_bias=self.use_bias, name=f"cnn_{i}",
+            )(x)
+            if self.batch_norm in _BN_ON_CNN:
+                x = BatchNorm(name=f"cnn_bn_{i}")(x, use_running_average=not train)
+            x = nn.relu(x)
+            x = max_pool_2d(x, pool)
+            if self.use_se_block:
+                x = SEBlock(name=f"se_{i}")(x)
+            x = nn.Dropout(self.dropout_perc)(x, deterministic=not train)
+        # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the
+        # reference's permute(0,3,1,2)+reshape of (B, C, F, T).
+        b, f, t, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)
+        x = TCBlock(
+            domain=self.domain, G=self.G, U=self.U, V=self.V,
+            V_kernel_size=self.V_kernel_size, pool_size=self.pool_size, D=self.D,
+            spatial_dropout_rate=self.spatial_dropout_rate, use_bias=self.use_bias,
+            dilation_mode=self.dilation_mode, pool_time=self.pool_time,
+            batch_norm=self.batch_norm,
+            kernel_size_dilated_conv=self.kernel_size_dilated_conv,
+            attention_impl=self.attention_impl, name="tcn",
+        )(x, train=train)
+        return x  # (B, T_pooled, V[-1])

@@ -1,0 +1,238 @@
+"""Flax layer modules: quaternion / dual-quaternion conv & linear, helpers.
+
+Equivalents of the reference's nn.Module layer wrappers
+(``quaternion/quaternion_layers.py:100-286`` and
+``dual_quaternion/dual_quaternion_layers.py:49-206``) as flax.linen modules
+holding the stacked component weights. All activations are channel-last:
+1d convs take (B, T, C), 2d convs take (B, H, W, C).
+
+Parameters:
+- ``w``: (n_components, *kernel, Cin//n, Cout//n) — stacked Hamilton
+  components (contiguous for the Pallas kernels).
+- ``b``: (Cout,), zero-init like the reference layers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from seld_tpu.ops.dual_quaternion import dual_quaternion_conv, dual_quaternion_linear
+from seld_tpu.ops.inits import component_init
+from seld_tpu.ops.quaternion import conv_nd, quaternion_conv, quaternion_linear
+
+IntOrTuple = Union[int, Sequence[int]]
+
+
+def _ntuple(v, n):
+    return (v,) * n if isinstance(v, int) else tuple(v)
+
+
+class HamiltonConv(nn.Module):
+    """Quaternion (n_components=4) or dual-quaternion (8) convolution."""
+
+    features: int
+    kernel_size: IntOrTuple
+    ndim: int = 1
+    n_components: int = 4
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    dilation: IntOrTuple = 1
+    use_bias: bool = True
+    weight_init: str = "quaternion"
+    init_criterion: str = "glorot"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        n = self.n_components
+        if cin % n or self.features % n:
+            raise ValueError(
+                f"channels ({cin}->{self.features}) must divide n_components={n}"
+            )
+        k = _ntuple(self.kernel_size, self.ndim)
+        w = self.param(
+            "w",
+            lambda key: component_init(
+                key,
+                (*k, cin // n, self.features // n),
+                n_components=n,
+                weight_init=self.weight_init,
+                criterion=self.init_criterion,
+            ),
+        )
+        b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        fn = quaternion_conv if n == 4 else dual_quaternion_conv
+        dtype = self.dtype or x.dtype
+        return fn(
+            x.astype(dtype),
+            w.astype(dtype),
+            None if b is None else b.astype(dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+        )
+
+
+class HamiltonLinear(nn.Module):
+    """Quaternion (4) or dual-quaternion (8) linear layer."""
+
+    features: int
+    n_components: int = 4
+    use_bias: bool = True
+    weight_init: str = "quaternion"
+    init_criterion: str = "glorot"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        n = self.n_components
+        if cin % n or self.features % n:
+            raise ValueError(
+                f"features ({cin}->{self.features}) must divide n_components={n}"
+            )
+        w = self.param(
+            "w",
+            lambda key: component_init(
+                key,
+                (cin // n, self.features // n),
+                n_components=n,
+                weight_init=self.weight_init,
+                criterion=self.init_criterion,
+            ),
+        )
+        b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        fn = quaternion_linear if n == 4 else dual_quaternion_linear
+        dtype = self.dtype or x.dtype
+        return fn(x.astype(dtype), w.astype(dtype), None if b is None else b.astype(dtype))
+
+
+class RealConv(nn.Module):
+    """Plain real conv in the same channel-last interface (torch-style padding)."""
+
+    features: int
+    kernel_size: IntOrTuple
+    ndim: int = 1
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    dilation: IntOrTuple = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _ntuple(self.kernel_size, self.ndim)
+        cin = x.shape[-1]
+        w = self.param(
+            "w", nn.initializers.he_uniform(in_axis=-2, out_axis=-1), (*k, cin, self.features)
+        )
+        b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        return conv_nd(
+            x.astype(dtype),
+            w.astype(dtype),
+            None if b is None else b.astype(dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+        )
+
+
+def make_conv(
+    domain: str,
+    features: int,
+    kernel_size: IntOrTuple,
+    ndim: int,
+    *,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    use_bias: bool = True,
+    name: Optional[str] = None,
+) -> nn.Module:
+    """Domain-dispatched conv, mirroring the reference's selection
+    (reference model.py:66-86: exact strings 'Q' and 'DQ'; anything else real)."""
+    if domain == "Q":
+        return HamiltonConv(
+            features, kernel_size, ndim=ndim, n_components=4, stride=stride,
+            padding=padding, dilation=dilation, use_bias=use_bias, name=name,
+        )
+    if domain == "DQ":
+        return HamiltonConv(
+            features, kernel_size, ndim=ndim, n_components=8, stride=stride,
+            padding=padding, dilation=dilation, use_bias=use_bias, name=name,
+        )
+    return RealConv(
+        features, kernel_size, ndim=ndim, stride=stride, padding=padding,
+        dilation=dilation, use_bias=use_bias, name=name,
+    )
+
+
+def make_linear(domain: str, features: int, use_bias: bool = True, name=None) -> nn.Module:
+    """Domain-dispatched linear, mirroring reference model.py:432-440."""
+    if domain == "Q":
+        return HamiltonLinear(features, n_components=4, use_bias=use_bias, name=name)
+    if domain == "DQ":
+        return HamiltonLinear(features, n_components=8, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, name=name)
+
+
+def max_pool_time(x: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """MaxPool1d over the time axis of (B, T, C); floor division like torch."""
+    if pool == 1:
+        return x
+    return nn.max_pool(x, window_shape=(pool,), strides=(pool,), padding="VALID")
+
+
+def max_pool_2d(x: jnp.ndarray, pool: Tuple[int, int]) -> jnp.ndarray:
+    """MaxPool2d over (B, F, T, C); floor division like torch."""
+    if pool[0] == 1 and pool[1] == 1:
+        return x
+    return nn.max_pool(x, window_shape=tuple(pool), strides=tuple(pool), padding="VALID")
+
+
+class SpatialDropout1D(nn.Module):
+    """Channel-wise dropout on (B, T, C) — torch nn.Dropout1d semantics
+    (reference model.py:97,127-128): the whole channel is dropped across time."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0:
+            return x
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1,))(x, deterministic=deterministic)
+
+
+class BatchNorm(nn.BatchNorm):
+    """BatchNorm over the last axis with torch-compatible hyperparameters
+    (torch momentum 0.1 == flax retention 0.9, eps 1e-5). Parameters live
+    directly under this module's name (flat, for torch checkpoint import)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-Excitation over channels of (B, ..., C).
+
+    The reference README claims an SE module but ships none (SURVEY.md
+    preamble); this is the opt-in implementation (off by default for parity).
+    """
+
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        axes = tuple(range(1, x.ndim - 1))
+        s = jnp.mean(x, axis=axes)
+        s = nn.Dense(max(c // self.reduction, 1))(s)
+        s = nn.relu(s)
+        s = nn.Dense(c)(s)
+        s = nn.sigmoid(s)
+        return x * s.reshape(s.shape[0], *([1] * len(axes)), c)

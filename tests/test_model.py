@@ -1,0 +1,144 @@
+"""Model zoo tests: shapes, model-name/RF synthesis, chunked attention, and
+full-model weight-import parity vs the torch mirror (<=1e-5)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from seld_tpu.models import SELDModel, receptive_field, synthesize_model_name
+from seld_tpu.models.attention import MultiHeadAttention
+from seld_tpu.utils.torch_import import import_reference_state_dict
+
+from tests.torch_seld import SELDModelT
+
+TINY = dict(
+    freq=32, time=32, pool=((2, 2), (2, 2), (2, 2)), filters=(8, 8, 8),
+    G=16, U=16, V=(16, 16), fc=(16,), D=(3,),
+)
+
+
+def _tiny_model(domain, cin, domain_classifier="same", bn="BN", parallel="False",
+                magphase=False, fc_dropout="Last"):
+    return SELDModel(
+        time_dim=TINY["time"], freq_dim=TINY["freq"], input_channels=cin,
+        output_classes=14, domain=domain, domain_classifier=domain_classifier,
+        cnn_filters=TINY["filters"], pool_size=TINY["pool"], pool_time="TCN",
+        D=TINY["D"], dilation_mode="fibonacci", G=TINY["G"], U=TINY["U"],
+        spatial_dropout_rate=0.5, V=TINY["V"], fc_layers=TINY["fc"],
+        fc_dropout=fc_dropout, dropout_perc=0.3, class_overlaps=3,
+        use_bias_conv=False, use_bias_linear=True, batch_norm=bn,
+        parallel_ConvTC_block=parallel, parallel_magphase=magphase,
+        attention_impl="full",
+    )
+
+
+@pytest.mark.parametrize("domain,cin", [("R", 8), ("Q", 8), ("DQ", 8)])
+def test_forward_shapes(rng, domain, cin):
+    model = _tiny_model(domain, cin)
+    x = jnp.asarray(rng.standard_normal((2, cin, TINY["freq"], TINY["time"])).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed, doa = model.apply(variables, x, train=False)
+    assert sed.shape == (2, 4, 42)  # time 32 -> /2/2/2 = 4
+    assert doa.shape == (2, 4, 126)
+    assert float(jnp.max(sed)) <= 1.0 and float(jnp.min(sed)) >= 0.0
+    assert float(jnp.max(jnp.abs(doa))) <= 1.0
+
+
+def test_train_mode_runs(rng):
+    model = _tiny_model("Q", 8)
+    x = jnp.asarray(rng.standard_normal((2, 8, TINY["freq"], TINY["time"])).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    (sed, doa), updates = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in updates
+    # running stats moved away from init
+    leaf = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
+    assert float(jnp.abs(leaf).sum()) > 0
+
+
+def test_model_name_and_receptive_field():
+    # reference: D=[10], k=3, fibonacci -> RF 287, 10 resblocks (SURVEY.md §2.3)
+    rf, n = receptive_field([10], 3, "fibonacci")
+    assert (rf, n) == (287, 10)
+    name = synthesize_model_name("DQ", "fibonacci", [10], "False", "BN", "TCN", rf, n)
+    assert name == "DualQSELD-TCN-PHI-S1_BN_RF287_10RB"
+    name_q = synthesize_model_name("Q", "fibonacci", [10], "2Parallel", "BN", "TCN", rf, n)
+    assert name_q == "QSELD-TCN-PHI-S1_2Parallel_BN_RF287_10RB"
+    rf2, n2 = receptive_field([5, 5], 3, "exp")
+    assert n2 == 10 and rf2 == 1 + 2 * 2 * (1 + 2 + 4 + 8 + 16)
+
+
+def test_chunked_attention_matches_full(rng):
+    e, t = 16, 40
+    x = jnp.asarray(rng.standard_normal((2, t, e)).astype(np.float32))
+    full = MultiHeadAttention(embed_size=e, num_heads=8, impl="full")
+    chunked = MultiHeadAttention(embed_size=e, num_heads=8, impl="chunked", chunk_size=16)
+    v = full.init(jax.random.PRNGKey(0), x, x, x)
+    out_f = full.apply(v, x, x, x)
+    out_c = chunked.apply(v, x, x, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c), atol=1e-5)
+
+
+def _parity_case(rng, domain, cin, domain_classifier="same", parallel=False, magphase=False):
+    """Build torch mirror + flax model, import weights, compare eval outputs."""
+    t = TINY
+    tm = SELDModelT(
+        freq=t["freq"], cin=cin, domain=domain, domain_classifier=domain_classifier,
+        filters=list(t["filters"]), pool=[list(p) for p in t["pool"]], G=t["G"],
+        U=t["U"], V=list(t["V"]), vk=3, dilations=[1, 1, 2], fc_layers=list(t["fc"]),
+        bias_conv=False, bias_linear=True, bn="BN",
+        parallel=parallel, magphase=magphase,
+    )
+    # move BN running stats off their init values, then freeze
+    tm.train()
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.randn(4, cin, t["freq"], t["time"]))
+    tm.eval()
+
+    x = rng.standard_normal((2, cin, t["freq"], t["time"])).astype(np.float32)
+    with torch.no_grad():
+        sed_ref, doa_ref = tm(torch.tensor(x))
+
+    fm = _tiny_model(
+        domain, cin, domain_classifier=domain_classifier,
+        parallel="2Parallel" if parallel else "False", magphase=magphase,
+    )
+    variables = import_reference_state_dict(tm.state_dict())
+    sed, doa = fm.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(sed), sed_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(doa), doa_ref.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("domain,cin", [("R", 8), ("Q", 8), ("DQ", 8)])
+def test_full_model_parity(rng, domain, cin):
+    torch.manual_seed(0)
+    _parity_case(rng, domain, cin)
+
+
+def test_full_model_parity_parallel_magphase(rng):
+    torch.manual_seed(1)
+    _parity_case(rng, "DQ", 16, domain_classifier="R", parallel=True, magphase=True)
+
+
+def test_se_block_optional(rng):
+    model = SELDModel(
+        time_dim=TINY["time"], freq_dim=TINY["freq"], input_channels=8,
+        domain="R", cnn_filters=TINY["filters"], pool_size=TINY["pool"],
+        D=TINY["D"], G=16, U=16, V=TINY["V"], fc_layers=TINY["fc"],
+        use_se_block=True, attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((1, 8, TINY["freq"], TINY["time"])).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed, doa = model.apply(variables, x, train=False)
+    assert sed.shape[-1] == 42
+    assert any("se_" in k for k in variables["params"]["seld_block"])
