@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: dp/tp sharding over ICI via jax.sharding + jit."""
+
+from seld_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_partition_spec,
+    shard_batch,
+    shard_variables,
+)

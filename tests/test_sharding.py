@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh: dp and dp+tp
+train steps must compile, run, and agree with single-device execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seld_tpu.config import SELDConfig
+from seld_tpu.models import model_from_config
+from seld_tpu.parallel.mesh import batch_sharding, make_mesh, param_partition_spec, shard_batch, shard_variables
+from seld_tpu.training import create_train_state, make_infer_step, make_train_step
+
+
+def _cfg():
+    return SELDConfig(
+        domain="Q", input_channels=8, freq_dim=16, time_dim=16,
+        cnn_filters=[8, 8, 8], pool_size=[[2, 2], [2, 2], [2, 2]],
+        D=[2], G=8, U=8, V=[16, 16], fc_layers=[16], batch_size=8,
+        lr=1e-3, attention_impl="full", pool_time="TCN",
+    )
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_sharded_train_step(rng, n_data, n_model):
+    cfg = _cfg()
+    model = model_from_config(cfg)
+    mesh = make_mesh(n_data, n_model)
+    x = jnp.asarray(rng.standard_normal((8, 8, 16, 16)).astype(np.float32))
+    y = jnp.zeros((8, 2, 168), jnp.float32)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+    state = state.replace(
+        params=shard_variables(mesh, state.params),
+        batch_stats=shard_variables(mesh, state.batch_stats),
+    )
+    xb, yb = shard_batch(mesh, x, y)
+    step = make_train_step(model, tx, cfg)
+    state, loss = step(state, xb, yb)
+    state, loss2 = step(state, xb, yb)
+    assert np.isfinite(float(loss)) and float(loss2) < float(loss) + 1.0
+
+
+def test_dp_matches_single_device(rng):
+    """Data-parallel execution must be numerically equivalent to one device."""
+    cfg = _cfg()
+    model = model_from_config(cfg)
+    x = jnp.asarray(rng.standard_normal((8, 8, 16, 16)).astype(np.float32))
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+    infer = make_infer_step(model)
+    sed_single, doa_single = infer(state.params, state.batch_stats, x)
+
+    mesh = make_mesh(8, 1)
+    params = shard_variables(mesh, state.params)
+    stats = shard_variables(mesh, state.batch_stats)
+    xb = jax.device_put(x, batch_sharding(mesh))
+    sed_dp, doa_dp = infer(params, stats, xb)
+    np.testing.assert_allclose(np.asarray(sed_single), np.asarray(sed_dp), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(doa_single), np.asarray(doa_dp), atol=1e-6)
+
+
+def test_param_partition_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    w = np.zeros((4, 3, 2, 16))
+    assert param_partition_spec(w, 2) == P(None, None, None, "model")
+    b = np.zeros((7,))
+    assert param_partition_spec(b, 2) == P()
+    odd = np.zeros((4, 3))
+    assert param_partition_spec(odd, 2) == P()
+    assert param_partition_spec(w, 1) == P()

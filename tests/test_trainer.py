@@ -1,0 +1,111 @@
+"""End-to-end trainer integration test on a synthetic Task-2 dataset:
+train a tiny model for a few epochs, verify checkpoints/CSVs/results and
+resume-from-checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from seld_tpu.config import SELDConfig
+from seld_tpu.data.synthetic import gen_fake_task2_dataset
+from seld_tpu.training import Trainer
+
+
+def _cfg(tmp_path, **overrides):
+    paths = gen_fake_task2_dataset(
+        str(tmp_path / "data"), n_train=4, n_val=2, n_test=2,
+        channels=8, freq=16, time_frames=16, label_frames=2,
+    )
+    base = dict(
+        domain="Q", input_channels=8, freq_dim=16, time_dim=16, n_mics=2,
+        cnn_filters=[8, 8, 8], pool_size=[[2, 2], [2, 2], [2, 2]],
+        D=[2], G=8, U=8, V=[8, 8], fc_layers=[8], batch_size=2,
+        lr=1e-3, num_frames=2, test_step=2, checkpoint_step=2,
+        min_n_epochs=1, patience=1000, attention_impl="full",
+        pool_time="TCN", dataset_normalization="True",
+        training_predictors_path=paths["train"][0],
+        training_target_path=paths["train"][1],
+        validation_predictors_path=paths["validation"][0],
+        validation_target_path=paths["validation"][1],
+        test_predictors_path=paths["test"][0],
+        test_target_path=paths["test"][1],
+        results_path=str(tmp_path / "results"),
+    )
+    base.update(overrides)
+    return SELDConfig(**base)
+
+
+def test_trainer_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, verbose=False)
+    results = trainer.run(max_epochs=3)
+
+    assert np.isfinite(results["train_loss"]) and np.isfinite(results["test_loss"])
+    assert len(results["train_loss_hist"]) == 3
+    assert len(results["final_test"]) == 16
+
+    model_dir = os.path.join(
+        "RESULTS_Original", "Task2", cfg.architecture,
+        trainer.model.model_name + cfg.model_extra_name,
+    )
+    # four checkpoint roles + archives + CSVs exist
+    assert os.path.isfile(os.path.join(model_dir, "checkpoint"))
+    assert os.path.isfile(os.path.join(model_dir, "checkpoint_best_model"))
+    assert os.path.isfile(os.path.join(model_dir, "checkpoint_best_model_on_Test"))
+    assert os.path.isdir(os.path.join(model_dir, "checkpoint_epoch_2"))
+    csvs = [f for f in os.listdir(model_dir) if f.endswith(".csv")]
+    assert any("training_metrics" in f for f in csvs)
+    assert any("test_metrics" in f for f in csvs)
+    assert os.path.isfile(os.path.join(cfg.results_path, "results_dict.json"))
+
+    # resume: a fresh trainer picks up the latest checkpoint automatically
+    trainer2 = Trainer(cfg, verbose=False)
+    trainer2.setup_data()
+    trainer2.setup_model()
+    results2 = trainer2.fit(max_epochs=4)  # runs 1 more epoch (epochs 3 -> 4)
+    assert len(results2["final_test"]) == 16
+
+
+def test_trainer_dq_with_unitnorm(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, domain="DQ", domain_classifier="DQ",
+               dataset_normalization="UnitNorm")
+    trainer = Trainer(cfg, verbose=False)
+    results = trainer.run(max_epochs=1)
+    assert np.isfinite(results["test_loss"])
+
+
+def test_train_cli(tmp_path, monkeypatch):
+    """The reference CLI shape: python train.py --TextArgs=<file>."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path)
+    # write a text config pointing at the synthetic data
+    lines = []
+    for key in (
+        "domain input_channels freq_dim time_dim n_mics batch_size lr num_frames "
+        "test_step checkpoint_step min_n_epochs patience attention_impl pool_time "
+        "training_predictors_path training_target_path validation_predictors_path "
+        "validation_target_path test_predictors_path test_target_path results_path"
+    ).split():
+        lines.append(f"--{key}={getattr(cfg, key)}")
+    lines.append("--cnn_filters=[8,8,8]")
+    lines.append("--pool_size=[[2,2],[2,2],[2,2]]")
+    lines.append("--D=[2]")
+    lines.append("--G=8")
+    lines.append("--U=8")
+    lines.append("--V=[8,8]")
+    lines.append("--fc_layers=[8]")
+    cfg_file = tmp_path / "test_config.txt"
+    cfg_file.write_text("\n".join(lines) + "\n")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "seld_train_cli", os.path.join(os.path.dirname(__file__), "..", "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    results = mod.main([f"--TextArgs={cfg_file}", "--max_epochs=1"])
+    assert np.isfinite(results["test_loss"])
