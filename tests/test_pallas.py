@@ -1,0 +1,121 @@
+"""Pallas kernel parity tests (interpret mode on the CPU mesh): the fused
+Hamilton matmul and flash attention must match their XLA reference paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from seld_tpu.ops import dual_quaternion_linear, quaternion_linear
+from seld_tpu.ops.dual_quaternion import dual_quaternion_conv
+from seld_tpu.ops.pallas.attention import flash_attention
+from seld_tpu.ops.pallas.qmatmul import pallas_dq_linear, pallas_q_linear
+
+
+@pytest.mark.parametrize("m,cin,cout", [(16, 8, 8), (40, 16, 24)])
+def test_pallas_q_linear_matches_xla(rng, m, cin, cout):
+    x = jnp.asarray(rng.standard_normal((m, cin)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((4, cin // 4, cout // 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    ref = quaternion_linear(x, comps, b)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_q_linear(x, comps, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_q_linear_3d_input(rng):
+    x = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((4, 2, 4)).astype(np.float32))
+    ref = quaternion_linear(x, comps, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_q_linear(x, comps, None)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_dq_linear_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((8, 2, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(24).astype(np.float32))
+    ref = dual_quaternion_linear(x, comps, b)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_dq_linear(x, comps, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_dq_conv_table_matches_1x1_conv(rng):
+    """conv_table=True must equal a 1x1 DQ convolution on (B, T, C)."""
+    x = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+    comps3 = jnp.asarray(rng.standard_normal((8, 1, 2, 2)).astype(np.float32))  # (8,k,cin,cout)
+    ref = dual_quaternion_conv(x, comps3, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_dq_linear(x, comps3[:, 0], None, conv_table=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_q_linear_grads_match_xla(rng):
+    x = jnp.asarray(rng.standard_normal((12, 8)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((4, 2, 2)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+
+    def loss_ref(x, c, b):
+        return jnp.sum(quaternion_linear(x, c, b) ** 2)
+
+    def loss_pal(x, c, b):
+        return jnp.sum(pallas_q_linear(x, c, b) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, comps, b)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(x, comps, b)
+    for a, bb in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=1e-4, rtol=1e-5)
+
+
+def test_pallas_dq_linear_grads_match_xla(rng):
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    comps = jnp.asarray(rng.standard_normal((8, 2, 2)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+
+    def loss_ref(x, c, b):
+        return jnp.sum(dual_quaternion_linear(x, c, b) ** 2)
+
+    def loss_pal(x, c, b):
+        return jnp.sum(pallas_dq_linear(x, c, b) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, comps, b)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(x, comps, b)
+    for a, bb in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=1e-4, rtol=1e-5)
+
+
+def _full_attention(q, k, v, scale):
+    energy = jnp.einsum("nqhd,nkhd->nhqk", q, k)
+    attn = jax.nn.softmax(energy * scale, axis=3)
+    return jnp.einsum("nhql,nlhd->nqhd", attn, v)
+
+
+@pytest.mark.parametrize("t,d", [(64, 16), (96, 48)])
+def test_flash_attention_matches_full(rng, t, d):
+    b, h = 2, 2
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    ref = _full_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_ragged_t_fallback(rng):
+    """T with no aligned divisor falls back to the exact chunked path."""
+    b, t, h, d = 1, 50, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    ref = _full_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
