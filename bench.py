@@ -18,10 +18,16 @@ with ``python bench.py --measure-ref``.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# flagship compile on this 1-core host
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # measured via tests/torch_seld.py flagship mirror + scipy STFT on this host
 # (see /tmp/ref_bench.log methodology in repo history): seconds to featurize
@@ -92,12 +98,17 @@ def measure_tpu(batch: int, iters: int, dtype: str):
             return model.apply(variables, feats, train=False)
 
     out = pipeline(variables, audio)  # compile + warmup
-    jax.block_until_ready(out)
-    t0 = time.time()
+    np.asarray(out[0])
+    # time with a host read of the (small) outputs every iteration: through
+    # the axon tunnel, block_until_ready alone can return before remote
+    # execution completes, so only D2H-synced timings are trustworthy
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         out = pipeline(variables, audio)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        np.asarray(out[0])
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     audio_hours = batch * secs / 3600.0
     return audio_hours / dt, dt
 

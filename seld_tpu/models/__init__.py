@@ -54,4 +54,5 @@ def model_from_config(cfg) -> SELDModel:
         parallel_magphase=cfg.parallel_magphase,
         use_se_block=cfg.use_se_block,
         attention_impl=cfg.attention_impl,
+        qconv_impl="pallas" if cfg.qconv_impl == "pallas" else "xla",
     )

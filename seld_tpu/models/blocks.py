@@ -79,6 +79,7 @@ class ResBlock(nn.Module):
     spatial_dropout_rate: float = 0.5
     use_bias: bool = True
     batch_norm: str = "BN"
+    qconv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -91,12 +92,12 @@ class ResBlock(nn.Module):
         y_f = make_conv(
             self.domain, self.G, self.kernel_size, 1, stride=self.stride,
             padding=padding, dilation=self.dilation, use_bias=self.use_bias,
-            name="conv_filter",
+            impl=self.qconv_impl, name="conv_filter",
         )(h)
         y_g = make_conv(
             self.domain, self.G, self.kernel_size, 1, stride=self.stride,
             padding=padding, dilation=self.dilation, use_bias=self.use_bias,
-            name="conv_gate",
+            impl=self.qconv_impl, name="conv_gate",
         )(h)
         if self.batch_norm in _BN_ON_TCN:
             y_f = BatchNorm(name="bn_filter")(y_f, use_running_average=not train)
@@ -105,9 +106,13 @@ class ResBlock(nn.Module):
         if self.spatial_dropout_rate != 0:
             y = SpatialDropout1D(self.spatial_dropout_rate)(y, deterministic=not train)
         y_skip = make_conv(
-            self.domain, self.U, 1, 1, use_bias=self.use_bias, name="conv_skip"
+            self.domain, self.U, 1, 1, use_bias=self.use_bias,
+            impl=self.qconv_impl, name="conv_skip",
         )(y)
-        y_res = make_conv(self.domain, L, 1, 1, use_bias=self.use_bias, name="conv_res")(y)
+        y_res = make_conv(
+            self.domain, L, 1, 1, use_bias=self.use_bias,
+            impl=self.qconv_impl, name="conv_res",
+        )(y)
         return h + y_res, y_skip
 
 
@@ -133,6 +138,7 @@ class TCBlock(nn.Module):
     batch_norm: str = "BN"
     kernel_size_dilated_conv: int = 3
     attention_impl: str = "auto"
+    qconv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -143,7 +149,7 @@ class TCBlock(nn.Module):
                 kernel_size=self.kernel_size_dilated_conv, dilation=dil,
                 spatial_dropout_rate=self.spatial_dropout_rate,
                 use_bias=self.use_bias, batch_norm=self.batch_norm,
-                name=f"resblock_{idx}",
+                qconv_impl=self.qconv_impl, name=f"resblock_{idx}",
             )(x, train=train)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         out = nn.relu(skip_sum)
@@ -151,7 +157,7 @@ class TCBlock(nn.Module):
             out = max_pool_time(out, self.pool_size[0][1])
         out = make_conv(
             self.domain, self.V[0], self.V_kernel_size, 1, padding=1,
-            use_bias=self.use_bias, name="conv1",
+            use_bias=self.use_bias, impl=self.qconv_impl, name="conv1",
         )(out)
         out = MultiHeadAttention(
             embed_size=self.V[0], num_heads=8, impl=self.attention_impl, name="attention"
@@ -161,7 +167,7 @@ class TCBlock(nn.Module):
             out = max_pool_time(out, self.pool_size[1][1])
         out = make_conv(
             self.domain, self.V[1], self.V_kernel_size, 1, padding=1,
-            use_bias=self.use_bias, name="conv2",
+            use_bias=self.use_bias, impl=self.qconv_impl, name="conv2",
         )(out)
         out = jnp.tanh(out)
         if self.pool_time == "TCN":
@@ -197,6 +203,7 @@ class ConvTCBlock(nn.Module):
     batch_norm: str = "noBN"
     use_se_block: bool = False
     attention_impl: str = "auto"
+    qconv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -205,7 +212,7 @@ class ConvTCBlock(nn.Module):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
             x = make_conv(
                 self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
-                use_bias=self.use_bias, name=f"cnn_{i}",
+                use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
             )(x)
             if self.batch_norm in _BN_ON_CNN:
                 x = BatchNorm(name=f"cnn_bn_{i}")(x, use_running_average=not train)
@@ -225,6 +232,7 @@ class ConvTCBlock(nn.Module):
             dilation_mode=self.dilation_mode, pool_time=self.pool_time,
             batch_norm=self.batch_norm,
             kernel_size_dilated_conv=self.kernel_size_dilated_conv,
-            attention_impl=self.attention_impl, name="tcn",
+            attention_impl=self.attention_impl, qconv_impl=self.qconv_impl,
+            name="tcn",
         )(x, train=train)
         return x  # (B, T_pooled, V[-1])

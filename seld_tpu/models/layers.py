@@ -31,7 +31,12 @@ def _ntuple(v, n):
 
 
 class HamiltonConv(nn.Module):
-    """Quaternion (n_components=4) or dual-quaternion (8) convolution."""
+    """Quaternion (n_components=4) or dual-quaternion (8) convolution.
+
+    ``impl='pallas'`` routes pointwise (k=1, stride 1) convolutions through
+    the fused Pallas Hamilton matmul (seld_tpu.ops.pallas.qmatmul); spatial
+    convolutions always use the XLA path.
+    """
 
     features: int
     kernel_size: IntOrTuple
@@ -43,6 +48,7 @@ class HamiltonConv(nn.Module):
     use_bias: bool = True
     weight_init: str = "quaternion"
     init_criterion: str = "glorot"
+    impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -65,12 +71,21 @@ class HamiltonConv(nn.Module):
             ),
         )
         b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        fn = quaternion_conv if n == 4 else dual_quaternion_conv
         dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        wd = w.astype(dtype)
+        bd = None if b is None else b.astype(dtype)
+        pointwise = all(kk == 1 for kk in k) and _ntuple(self.stride, self.ndim) == (1,) * self.ndim
+        if self.impl == "pallas" and pointwise:
+            from seld_tpu.ops.pallas.qmatmul import pallas_dq_linear, pallas_q_linear
+
+            w_mat = wd.reshape(n, cin // n, self.features // n)
+            if n == 4:
+                return pallas_q_linear(xd, w_mat, bd)
+            return pallas_dq_linear(xd, w_mat, bd, conv_table=True)
+        fn = quaternion_conv if n == 4 else dual_quaternion_conv
         return fn(
-            x.astype(dtype),
-            w.astype(dtype),
-            None if b is None else b.astype(dtype),
+            xd, wd, bd,
             stride=self.stride,
             padding=self.padding,
             dilation=self.dilation,
@@ -78,13 +93,16 @@ class HamiltonConv(nn.Module):
 
 
 class HamiltonLinear(nn.Module):
-    """Quaternion (4) or dual-quaternion (8) linear layer."""
+    """Quaternion (4) or dual-quaternion (8) linear layer.
+
+    ``impl='pallas'`` uses the fused Pallas Hamilton matmul."""
 
     features: int
     n_components: int = 4
     use_bias: bool = True
     weight_init: str = "quaternion"
     init_criterion: str = "glorot"
+    impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -106,9 +124,18 @@ class HamiltonLinear(nn.Module):
             ),
         )
         b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        fn = quaternion_linear if n == 4 else dual_quaternion_linear
         dtype = self.dtype or x.dtype
-        return fn(x.astype(dtype), w.astype(dtype), None if b is None else b.astype(dtype))
+        xd = x.astype(dtype)
+        wd = w.astype(dtype)
+        bd = None if b is None else b.astype(dtype)
+        if self.impl == "pallas":
+            from seld_tpu.ops.pallas.qmatmul import pallas_dq_linear, pallas_q_linear
+
+            if n == 4:
+                return pallas_q_linear(xd, wd, bd)
+            return pallas_dq_linear(xd, wd, bd, conv_table=False)
+        fn = quaternion_linear if n == 4 else dual_quaternion_linear
+        return fn(xd, wd, bd)
 
 
 class RealConv(nn.Module):
@@ -152,6 +179,7 @@ def make_conv(
     padding: IntOrTuple = 0,
     dilation: IntOrTuple = 1,
     use_bias: bool = True,
+    impl: str = "xla",
     name: Optional[str] = None,
 ) -> nn.Module:
     """Domain-dispatched conv, mirroring the reference's selection
@@ -159,12 +187,12 @@ def make_conv(
     if domain == "Q":
         return HamiltonConv(
             features, kernel_size, ndim=ndim, n_components=4, stride=stride,
-            padding=padding, dilation=dilation, use_bias=use_bias, name=name,
+            padding=padding, dilation=dilation, use_bias=use_bias, impl=impl, name=name,
         )
     if domain == "DQ":
         return HamiltonConv(
             features, kernel_size, ndim=ndim, n_components=8, stride=stride,
-            padding=padding, dilation=dilation, use_bias=use_bias, name=name,
+            padding=padding, dilation=dilation, use_bias=use_bias, impl=impl, name=name,
         )
     return RealConv(
         features, kernel_size, ndim=ndim, stride=stride, padding=padding,
@@ -172,12 +200,14 @@ def make_conv(
     )
 
 
-def make_linear(domain: str, features: int, use_bias: bool = True, name=None) -> nn.Module:
+def make_linear(
+    domain: str, features: int, use_bias: bool = True, impl: str = "xla", name=None
+) -> nn.Module:
     """Domain-dispatched linear, mirroring reference model.py:432-440."""
     if domain == "Q":
-        return HamiltonLinear(features, n_components=4, use_bias=use_bias, name=name)
+        return HamiltonLinear(features, n_components=4, use_bias=use_bias, impl=impl, name=name)
     if domain == "DQ":
-        return HamiltonLinear(features, n_components=8, use_bias=use_bias, name=name)
+        return HamiltonLinear(features, n_components=8, use_bias=use_bias, impl=impl, name=name)
     return nn.Dense(features, use_bias=use_bias, name=name)
 
 

@@ -88,6 +88,7 @@ class SELDModel(nn.Module):
     parallel_magphase: bool = False
     use_se_block: bool = False
     attention_impl: str = "auto"
+    qconv_impl: str = "xla"
 
     @property
     def classifier_domain(self) -> str:
@@ -115,7 +116,7 @@ class SELDModel(nn.Module):
             V_kernel_size=self.V_kernel_size, dropout_perc=self.dropout_perc,
             use_bias=self.use_bias_conv, batch_norm=self.batch_norm,
             use_se_block=self.use_se_block, attention_impl=self.attention_impl,
-            name=name,
+            qconv_impl=self.qconv_impl, name=name,
         )
 
     @nn.compact
@@ -143,7 +144,10 @@ class SELDModel(nn.Module):
         def head(h, out_size, prefix):
             y = h
             for li, width in enumerate(self.fc_layers):
-                y = make_linear(cdom, width, self.use_bias_linear, name=f"{prefix}_fc{li}")(y)
+                y = make_linear(
+                    cdom, width, self.use_bias_linear,
+                    impl=self.qconv_impl, name=f"{prefix}_fc{li}",
+                )(y)
                 if self.fc_activations in {"relu", "ReLU", "RELU"}:
                     y = nn.relu(y)
                 if self.fc_dropout in {"all", "ALL", "True"}:

@@ -119,3 +119,32 @@ def test_flash_attention_ragged_t_fallback(rng):
     ref = _full_attention(q, k, v, scale)
     got = flash_attention(q, k, v, scale, block_q=32, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_model_matches_xla_model(rng):
+    """Full tiny Q model with qconv_impl='pallas' must match the XLA model."""
+    import dataclasses
+
+    from seld_tpu.models import SELDModel
+
+    kw = dict(
+        time_dim=16, freq_dim=16, input_channels=8, output_classes=14,
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    m_xla = SELDModel(qconv_impl="xla", **kw)
+    m_pal = SELDModel(qconv_impl="pallas", **kw)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16)).astype(np.float32))
+    variables = m_xla.init(jax.random.PRNGKey(0), x, train=False)
+    ref = m_xla.apply(variables, x, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = m_pal.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
