@@ -57,6 +57,7 @@ from seld_tpu.training.steps import (
     set_learning_rate,
 )
 from seld_tpu.utils.io import save_array_to_csv
+from seld_tpu.utils.profiling import MetricsLogger, StepTimer
 
 
 def evaluate_test_outputs(
@@ -244,6 +245,8 @@ class Trainer:
                 self.sched = sched
             epoch = loop["epochs"]
 
+        metrics_log = MetricsLogger(os.path.join(model_dir, "metrics.jsonl"))
+        step_timer = StepTimer(warmup_steps=2)
         self._log("TRAINING START")
         while loop["worse_epochs"] < cfg.patience or epoch < cfg.min_n_epochs:
             if max_epochs is not None and epoch >= max_epochs:
@@ -258,7 +261,8 @@ class Trainer:
             batch_losses = []
             for x, y in self.loaders["train"]:
                 x, y = self._device_batch(x, y)
-                self.state, loss = self.train_step(self.state, x, y)
+                with step_timer:
+                    self.state, loss = self.train_step(self.state, x, y)
                 batch_losses.append(loss)
                 loop["step"] += 1
             train_loss = float(np.mean([float(l) for l in batch_losses]))
@@ -269,6 +273,10 @@ class Trainer:
             self._log(
                 f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
                 f"({time.time() - t0:.1f}s)"
+            )
+            metrics_log.log(
+                loop["step"], epoch=epoch, train_loss=train_loss,
+                val_loss=val_loss, lr=lr, **step_timer.summary(),
             )
 
             # early-stopping bookkeeping + 4-role checkpointing (train.py:588-616)
