@@ -17,7 +17,20 @@ import numpy as np
 
 
 def load_task2_pickles(cfg) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
-    """Load the 6-pickle L3DAS21 Task-2 layout the reference trainer expects."""
+    """Load the 6-pickle L3DAS21 Task-2 layout the reference trainer expects.
+
+    If ``training_predictors_path`` points at a ``.seldpak`` container
+    (created by ``seld_tpu.data.native.pack_dataset``), the native mmap
+    reader serves all six tensors from that single file instead.
+    """
+    if str(cfg.training_predictors_path).endswith(".seldpak"):
+        from seld_tpu.data.native import PakReader
+
+        reader = PakReader(cfg.training_predictors_path)
+        predictors, targets = {}, {}
+        for split in ("train", "val", "test"):
+            predictors[split], targets[split] = reader.split(split)
+        return predictors, targets
     paths = {
         ("train", "x"): cfg.training_predictors_path,
         ("train", "y"): cfg.training_target_path,
