@@ -178,3 +178,40 @@ def test_gradients_flow(rng):
     g = jax.grad(loss)(comps)
     assert g.shape == comps.shape
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_quaternion_rotation_kernel_matches_torch_formula(rng):
+    """Rotation kernel R (linear orientation) vs the documented W*x*W† form
+    (reference quaternion_ops.py:330-388)."""
+    from seld_tpu.ops import quaternion_rotation_kernel
+
+    comps = rng.standard_normal((4, 2, 3)).astype(np.float32)
+    r, i, j, k = [torch.tensor(c) for c in comps]
+    norm_factor = 2.0 * torch.sqrt(r * r + i * i + j * j + k * k)
+    sq_i, sq_j, sq_k = norm_factor * i * i, norm_factor * j * j, norm_factor * k * k
+    ri, rj, rk = norm_factor * r * i, norm_factor * r * j, norm_factor * r * k
+    ij, ik, jk = norm_factor * i * j, norm_factor * i * k, norm_factor * j * k
+    col1 = torch.cat((1.0 - (sq_j + sq_k), ij - rk, ik + rj), dim=0)
+    col2 = torch.cat((ij + rk, 1.0 - (sq_i + sq_k), jk - ri), dim=0)
+    col3 = torch.cat((ik - rj, jk + ri, 1.0 - (sq_i + sq_j)), dim=0)
+    ref = torch.cat((col1, col2, col3), dim=1).numpy()
+    got = np.asarray(quaternion_rotation_kernel(jnp.asarray(comps)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_quaternion_exp_of_zero_is_identity():
+    from seld_tpu.ops import quaternion_exp
+
+    x = jnp.zeros((2, 8))
+    out = np.asarray(quaternion_exp(x))
+    np.testing.assert_allclose(out[:, 0:2], 1.0, atol=1e-3)  # cos(|v|~0)*e^0
+    np.testing.assert_allclose(out[:, 2:], 0.0, atol=1e-3)
+
+
+def test_get_normalized_unit_modulus(rng):
+    from seld_tpu.ops import get_modulus, get_normalized
+
+    x = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32) * 3)
+    out = get_normalized(x)
+    mod = np.asarray(get_modulus(out, vector_form=True))
+    np.testing.assert_allclose(mod, 1.0, atol=1e-3)
