@@ -76,7 +76,11 @@ def measure_tpu(batch: int, iters: int, dtype: str):
     from seld_tpu.data.features import spectrum_fast
     from __graft_entry__ import _flagship_model
 
+    import dataclasses
+
     model = _flagship_model(time_dim=4800)
+    if dtype == "bfloat16":
+        model = dataclasses.replace(model, compute_dtype="bfloat16")
     sr, secs = 32000, 60
     audio = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, 8, sr * secs)).astype(np.float32)
@@ -93,8 +97,6 @@ def measure_tpu(batch: int, iters: int, dtype: str):
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
             )(audio)
-            if dtype == "bfloat16":
-                feats = feats.astype(jnp.bfloat16)
             return model.apply(variables, feats, train=False)
 
     out = pipeline(variables, audio)  # compile + warmup

@@ -55,4 +55,5 @@ def model_from_config(cfg) -> SELDModel:
         use_se_block=cfg.use_se_block,
         attention_impl=cfg.attention_impl,
         qconv_impl="pallas" if cfg.qconv_impl == "pallas" else "xla",
+        compute_dtype=cfg.compute_dtype,
     )

@@ -57,6 +57,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int = 8
     impl: str = "auto"  # 'full' | 'chunked' | 'pallas' | 'auto'
     chunk_size: int = 512
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, v, k, q, mask: Optional[jnp.ndarray] = None):
@@ -67,9 +68,9 @@ class MultiHeadAttention(nn.Module):
         n, q_len = q.shape[0], q.shape[1]
 
         def proj(x, name):
-            return nn.Dense(self.embed_size, use_bias=False, name=name)(x).reshape(
-                x.shape[0], x.shape[1], self.num_heads, head_dim
-            )
+            return nn.Dense(
+                self.embed_size, use_bias=False, dtype=self.dtype, name=name
+            )(x).reshape(x.shape[0], x.shape[1], self.num_heads, head_dim)
 
         vh = proj(v, "values")
         kh = proj(k, "keys")
@@ -89,4 +90,4 @@ class MultiHeadAttention(nn.Module):
             out = _attend_full(qh, kh, vh, scale, mask)
 
         out = out.reshape(n, q_len, self.embed_size)
-        return nn.Dense(self.embed_size, use_bias=True, name="fc_out")(out)
+        return nn.Dense(self.embed_size, use_bias=True, dtype=self.dtype, name="fc_out")(out)

@@ -80,14 +80,16 @@ class ResBlock(nn.Module):
     use_bias: bool = True
     batch_norm: str = "BN"
     qconv_impl: str = "xla"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         L = x.shape[-1]
         padding = ((self.kernel_size - 1) * self.dilation) // 2
-        h = x
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        h = x.astype(cdt)
         if self.batch_norm in _BN_ON_TCN:
-            h = BatchNorm(name="bn_pre")(h, use_running_average=not train)
+            h = BatchNorm(dtype=cdt, name="bn_pre")(h, use_running_average=not train)
             h = jnp.tanh(h)
         y_f = make_conv(
             self.domain, self.G, self.kernel_size, 1, stride=self.stride,
@@ -100,8 +102,8 @@ class ResBlock(nn.Module):
             impl=self.qconv_impl, name="conv_gate",
         )(h)
         if self.batch_norm in _BN_ON_TCN:
-            y_f = BatchNorm(name="bn_filter")(y_f, use_running_average=not train)
-            y_g = BatchNorm(name="bn_gate")(y_g, use_running_average=not train)
+            y_f = BatchNorm(dtype=cdt, name="bn_filter")(y_f, use_running_average=not train)
+            y_g = BatchNorm(dtype=cdt, name="bn_gate")(y_g, use_running_average=not train)
         y = jnp.tanh(y_f) * nn.sigmoid(y_g)
         if self.spatial_dropout_rate != 0:
             y = SpatialDropout1D(self.spatial_dropout_rate)(y, deterministic=not train)
@@ -139,6 +141,7 @@ class TCBlock(nn.Module):
     kernel_size_dilated_conv: int = 3
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,7 +152,8 @@ class TCBlock(nn.Module):
                 kernel_size=self.kernel_size_dilated_conv, dilation=dil,
                 spatial_dropout_rate=self.spatial_dropout_rate,
                 use_bias=self.use_bias, batch_norm=self.batch_norm,
-                qconv_impl=self.qconv_impl, name=f"resblock_{idx}",
+                qconv_impl=self.qconv_impl, dtype=self.dtype,
+                name=f"resblock_{idx}",
             )(x, train=train)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         out = nn.relu(skip_sum)
@@ -160,7 +164,9 @@ class TCBlock(nn.Module):
             use_bias=self.use_bias, impl=self.qconv_impl, name="conv1",
         )(out)
         out = MultiHeadAttention(
-            embed_size=self.V[0], num_heads=8, impl=self.attention_impl, name="attention"
+            embed_size=self.V[0], num_heads=8, impl=self.attention_impl,
+            dtype=jnp.bfloat16 if self.dtype == "bfloat16" else None,
+            name="attention",
         )(out, out, out)
         out = nn.relu(out)
         if self.pool_time == "TCN":
@@ -204,10 +210,13 @@ class ConvTCBlock(nn.Module):
     use_se_block: bool = False
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, F, T, C)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = x.astype(cdt)
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
             x = make_conv(
@@ -215,7 +224,7 @@ class ConvTCBlock(nn.Module):
                 use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
             )(x)
             if self.batch_norm in _BN_ON_CNN:
-                x = BatchNorm(name=f"cnn_bn_{i}")(x, use_running_average=not train)
+                x = BatchNorm(dtype=cdt, name=f"cnn_bn_{i}")(x, use_running_average=not train)
             x = nn.relu(x)
             x = max_pool_2d(x, pool)
             if self.use_se_block:
@@ -233,6 +242,6 @@ class ConvTCBlock(nn.Module):
             batch_norm=self.batch_norm,
             kernel_size_dilated_conv=self.kernel_size_dilated_conv,
             attention_impl=self.attention_impl, qconv_impl=self.qconv_impl,
-            name="tcn",
+            dtype=self.dtype, name="tcn",
         )(x, train=train)
         return x  # (B, T_pooled, V[-1])

@@ -89,6 +89,7 @@ class SELDModel(nn.Module):
     use_se_block: bool = False
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
+    compute_dtype: str = "float32"
 
     @property
     def classifier_domain(self) -> str:
@@ -116,7 +117,7 @@ class SELDModel(nn.Module):
             V_kernel_size=self.V_kernel_size, dropout_perc=self.dropout_perc,
             use_bias=self.use_bias_conv, batch_norm=self.batch_norm,
             use_se_block=self.use_se_block, attention_impl=self.attention_impl,
-            qconv_impl=self.qconv_impl, name=name,
+            qconv_impl=self.qconv_impl, dtype=self.compute_dtype, name=name,
         )
 
     @nn.compact
@@ -156,6 +157,6 @@ class SELDModel(nn.Module):
                 y = nn.Dropout(self.dropout_perc)(y, deterministic=not train)
             return nn.Dense(out_size, use_bias=self.use_bias_linear, name=f"{prefix}_out")(y)
 
-        sed = nn.sigmoid(head(h, sed_out, "sed"))
-        doa = jnp.tanh(head(h, doa_out, "doa"))
+        sed = nn.sigmoid(head(h, sed_out, "sed").astype(jnp.float32))
+        doa = jnp.tanh(head(h, doa_out, "doa").astype(jnp.float32))
         return sed, doa

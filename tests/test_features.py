@@ -53,3 +53,15 @@ def test_batch_featurizer(rng):
     single = spectrum_fast(x[0], nperseg=256, noverlap=64, output_phase=True)
     assert out.shape[0] == 2
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-6)
+
+
+def test_matmul_dft_matches_fft(rng):
+    from seld_tpu.data.features import spectrum_fast
+
+    x = rng.standard_normal((4, 16000)).astype(np.float32)
+    f = np.asarray(spectrum_fast(x, nperseg=512, noverlap=112, output_phase=True, method="fft"))
+    m = np.asarray(spectrum_fast(x, nperseg=512, noverlap=112, output_phase=True, method="matmul"))
+    n_mag = f.shape[0] // 2
+    np.testing.assert_allclose(m[:n_mag], f[:n_mag], atol=2e-5)
+    mask = f[:n_mag] > 1e-5
+    assert np.percentile(np.abs(m[n_mag:] - f[n_mag:])[mask], 99) < 1e-2
