@@ -29,11 +29,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# measured via tests/torch_seld.py flagship mirror + scipy STFT on this host
-# (see /tmp/ref_bench.log methodology in repo history): seconds to featurize
-# + forward one 60 s 8-ch clip on CPU torch.
-REF_SECONDS_PER_CLIP = None  # filled below after first measurement
-REF_AUDIO_HOURS_PER_SEC = 0.00326  # placeholder, overwritten by --measure-ref
+# Reference baseline measured on this host 2026-08-16 via measure_reference()
+# (tests/torch_seld.py flagship DQ mirror + scipy STFT, eval mode, torch CPU):
+# featurize 11.0 s + forward ~39 s = ~50 s per 60 s 8-ch clip. CAVEAT: this
+# container exposes ONE CPU core (1 torch thread); on a multicore host the
+# reference would be proportionally faster. Re-measure with --measure-ref.
+REF_AUDIO_HOURS_PER_SEC = 0.000333
 
 
 def measure_reference():

@@ -109,3 +109,28 @@ def test_train_cli(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
     results = mod.main([f"--TextArgs={cfg_file}", "--max_epochs=1"])
     assert np.isfinite(results["test_loss"])
+
+
+def test_predict_cli(tmp_path, monkeypatch, rng):
+    """predict.py: raw audio in -> submission CSV out (random init smoke)."""
+    import importlib.util
+
+    monkeypatch.chdir(tmp_path)
+    audio = rng.standard_normal((8, 32000 * 2)).astype(np.float32)
+    np.save(tmp_path / "clip.npy", audio)
+    cfg_file = tmp_path / "cfg.txt"
+    cfg_file.write_text(
+        "--domain=Q\n--input_channels=8\n--freq_dim=256\n--pool_time=TCN\n"
+        "--cnn_filters=[8,8,8]\n--pool_size=[[8,2],[8,2],[2,2]]\n--D=[2]\n"
+        "--G=8\n--U=8\n--V=[8,8]\n--fc_layers=[8]\n--attention_impl=full\n"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "seld_predict_cli", os.path.join(os.path.dirname(__file__), "..", "predict.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main([
+        f"--TextArgs={cfg_file}", "--inputs", str(tmp_path / "clip.npy"),
+        "--out-dir", str(tmp_path / "subs"),
+    ])
+    assert (tmp_path / "subs" / "clip.csv").exists()
