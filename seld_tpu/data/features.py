@@ -69,17 +69,19 @@ def stft_frames(x: jnp.ndarray, nperseg: int, noverlap: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_matrices(nperseg: int) -> tuple:
+def _dft_matrices(nperseg: int, skip_dc: bool = False) -> tuple:
     """Windowed, normalized real-DFT matrices: frames @ C -> Re, frames @ S -> -Im.
 
     Folding the Hamming window and the scipy 1/win.sum() normalization into
     the matrices makes the whole STFT two MXU matmuls — on TPU this beats the
-    VPU-based FFT by a wide margin at nperseg=512.
+    VPU-based FFT by a wide margin at nperseg=512. With ``skip_dc`` the DC
+    column is omitted, leaving nperseg//2 output bins (a lane-aligned 256 for
+    the canonical nperseg=512) — the DC bin is discarded downstream anyway.
     """
     win = np.asarray(0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg))
     n_bins = nperseg // 2 + 1
     t = np.arange(nperseg)[:, None]
-    k = np.arange(n_bins)[None, :]
+    k = np.arange(int(skip_dc), n_bins)[None, :]
     angle = 2.0 * np.pi * t * k / nperseg
     scale = win[:, None] / win.sum()
     cos_m = (np.cos(angle) * scale).astype(np.float32)
@@ -115,15 +117,20 @@ def spectrum_fast(
     """
     x = jnp.asarray(x, jnp.float32)
     frames = stft_frames(x, nperseg, noverlap)
+    if cut_last_timeframe:
+        frames = frames[..., :-1, :]  # skip computing the dropped frame
     if method == "auto":
         method = "matmul" if jax.default_backend() != "cpu" else "fft"
     if method == "matmul":
-        cos_m, sin_m = _dft_matrices(nperseg)
+        # fold the DC cut into the DFT matrix: 256 output lanes instead of 257
+        cos_m, sin_m = _dft_matrices(nperseg, skip_dc=cut_dc)
         re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
         im = -jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
     else:
         win = hamming_periodic(nperseg)
         spec = jnp.fft.rfft(frames * win, axis=-1) / win.sum()
+        if cut_dc:
+            spec = spec[..., 1:]
         re, im = jnp.real(spec), jnp.imag(spec)
     # scipy layout is (channels, freq, time)
     re = jnp.swapaxes(re, -1, -2)
@@ -132,10 +139,6 @@ def spectrum_fast(
     if output_phase:
         phase = jnp.arctan2(im, re)
         out = jnp.concatenate([out, phase], axis=-3)
-    if cut_dc:
-        out = out[..., 1:, :]
-    if cut_last_timeframe:
-        out = out[..., :, :-1]
     return out
 
 

@@ -147,3 +147,18 @@ def test_se_block_optional(rng):
     sed, doa = model.apply(variables, x, train=False)
     assert sed.shape[-1] == 42
     assert any("se_" in k for k in variables["params"]["seld_block"])
+
+
+def test_bfloat16_compute_close_to_f32(rng):
+    """The serving dtype must track the f32 path closely (outputs are f32)."""
+    import dataclasses
+
+    model = _tiny_model("Q", 8)
+    model_bf16 = dataclasses.replace(model, compute_dtype="bfloat16")
+    x = jnp.asarray(rng.standard_normal((2, 8, TINY["freq"], TINY["time"])).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed32, doa32 = model.apply(variables, x, train=False)
+    sed16, doa16 = model_bf16.apply(variables, x, train=False)
+    assert sed16.dtype == jnp.float32 and doa16.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(sed16 - sed32))) < 0.05
+    assert float(jnp.max(jnp.abs(doa16 - doa32))) < 0.1
