@@ -1,0 +1,112 @@
+"""Fused inference path for serving: Pallas frontend + jit TCN + direct heads.
+
+Executes a single-trunk :class:`SELDModel` from its regular variables
+(checkpoint-compatible — same trees as ``model.apply``), but runs the CNN
+front-end through the fused conv2d+BN+ReLU+freqpool Pallas kernel
+(seld_tpu.ops.pallas.conv2d_pool), which never materializes the
+full-resolution conv activations. Eval-mode semantics only (BN running
+stats folded into the conv affine; dropout identity).
+
+Parity vs ``model.apply(..., train=False)`` is pinned in
+tests/test_pallas.py::test_fused_infer_matches_model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from seld_tpu.models.blocks import TCBlock
+from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
+from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
+from seld_tpu.ops.pallas.conv2d_pool import conv2d_bn_relu_fpool
+from seld_tpu.ops.quaternion import quaternion_linear
+
+_BN_EPS = 1e-5
+
+
+def _frontend_kernel(conv_params) -> jnp.ndarray:
+    w = conv_params["w"]
+    if w.ndim == 4:  # real conv (kh, kw, cin, cout)
+        return w
+    if w.shape[0] == 4:
+        return assemble_q_kernel(w)
+    return assemble_dq_conv_kernel(w)
+
+
+def _folded_affine(conv_params, bn_params, bn_stats):
+    """Fold BN (and the conv bias, if any) into a (scale, bias) affine."""
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
+    bias = bn_params["bias"] - bn_stats["mean"] * inv
+    if "b" in conv_params:
+        bias = bias + conv_params["b"] * inv
+    return inv, bias
+
+
+def _linear(domain: str, params, x):
+    if "kernel" in params:  # real Dense
+        y = jnp.dot(x, params["kernel"])
+        return y + params["bias"] if "bias" in params else y
+    w = params["w"]
+    b = params.get("b")
+    if w.shape[0] == 4:
+        return quaternion_linear(x, w, b)
+    return dual_quaternion_linear(x, w, b)
+
+
+def fused_infer(model, variables, x, interpret: bool = False):
+    """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
+
+    x: (B, C, F, T) reference layout, like ``model.apply``.
+    """
+    assert model.parallel_ConvTC_block in {"False", "false", "None", "none"}, (
+        "fused_infer supports the single-trunk configuration"
+    )
+    assert model.pool_time == "TCN", "fused frontend pools frequency only"
+    params = variables["params"]["seld_block"]
+    stats = variables.get("batch_stats", {}).get("seld_block", {})
+    dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
+
+    h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
+    for i, pool in enumerate(model.pool_size):
+        conv_p = params[f"cnn_{i}"]
+        kernel = _frontend_kernel(conv_p).astype(dtype)
+        scale, bias = _folded_affine(
+            conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
+        )
+        h = conv2d_bn_relu_fpool(
+            h, kernel, scale.astype(dtype), bias.astype(dtype),
+            pool_f=int(pool[0]), interpret=interpret,
+        )
+    b, f, t, c = h.shape
+    h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
+
+    tcn = TCBlock(
+        domain=model.domain, G=model.G, U=model.U, V=model.V,
+        V_kernel_size=model.V_kernel_size, pool_size=model.pool_size,
+        D=model.D, spatial_dropout_rate=model.spatial_dropout_rate,
+        use_bias=model.use_bias_conv, dilation_mode=model.dilation_mode,
+        pool_time=model.pool_time, batch_norm=model.batch_norm,
+        kernel_size_dilated_conv=model.kernel_size_dilated_conv,
+        attention_impl=model.attention_impl, qconv_impl=model.qconv_impl,
+        dtype=model.compute_dtype,
+    )
+    tcn_vars = {"params": variables["params"]["seld_block"]["tcn"]}
+    if stats.get("tcn"):
+        tcn_vars["batch_stats"] = stats["tcn"]
+    h = tcn.apply(tcn_vars, h, train=False)
+
+    cdom = model.classifier_domain
+    top = variables["params"]
+
+    def head(h, prefix, act):
+        y = h.astype(jnp.float32)
+        for li in range(len(model.fc_layers)):
+            y = _linear(cdom, top[f"{prefix}_fc{li}"], y)
+            if model.fc_activations in {"relu", "ReLU", "RELU"}:
+                y = jnp.maximum(y, 0.0)
+        y = _linear("R", top[f"{prefix}_out"], y)
+        return act(y)
+
+    sed = head(h, "sed", lambda z: 1.0 / (1.0 + jnp.exp(-z)))
+    doa = head(h, "doa", jnp.tanh)
+    return sed, doa

@@ -148,3 +148,41 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("pf,cin,cout", [(2, 8, 16), (4, 16, 16)])
+def test_conv2d_bn_relu_fpool_matches_xla(rng, pf, cin, cout):
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_bn_relu_fpool
+    from seld_tpu.ops.quaternion import conv_nd
+    from seld_tpu.models.layers import max_pool_2d
+
+    b, f, t = 2, 8, 32
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    ref = conv_nd(x, w, None, padding=1)
+    ref = jnp.maximum(ref * scale + bias, 0.0)
+    ref = max_pool_2d(ref, (pf, 1))
+    got = conv2d_bn_relu_fpool(x, w, scale, bias, pool_f=pf, block_t=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def test_fused_infer_matches_model(rng):
+    """fused_infer (Pallas frontend + direct heads) must match model.apply."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
