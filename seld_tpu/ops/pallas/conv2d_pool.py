@@ -31,25 +31,32 @@ def _kernel(x_hbm, w_ref, s_ref, b_ref, o_ref, x_s, sem, *, pf, tt, cin, cout):
     fo = pl.program_id(1)
     ti = pl.program_id(2)
 
-    # halo copy: rows fo*pf .. fo*pf+pf+1, cols ti*tt .. ti*tt+tt+1 of padded x
+    # halo copy: rows fo*pf .. fo*pf+pf+1, cols ti*tt .. ti*tt+tt+7 of padded
+    # x (the time window is tt+8, not tt+2: Mosaic requires 8-aligned DMA
+    # slice shapes along the sublane dimension)
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(fo * pf, pf + 2), pl.ds(ti * tt, tt + 2), :],
+        x_hbm.at[b, pl.ds(fo * pf, pf + 2), pl.ds(ti * tt, tt + 8), :],
         x_s,
         sem,
     )
     dma.start()
     dma.wait()
 
-    w = w_ref[...].reshape(9 * cin, cout)
     scale = s_ref[...]
     bias = b_ref[...]
 
+    # per-tap matmul accumulation (Mosaic cannot lower an im2col concat of
+    # non-lane-aligned slices); each tap is a (tt, cin) @ (cin, cout) MXU dot
     out = jnp.full((tt, cout), -jnp.inf, dtype=jnp.float32)
     for r in range(pf):
-        # im2col for output row r: rows r..r+2 with the 3 column shifts
-        cols = [x_s[r + dy, dx : dx + tt, :] for dy in range(3) for dx in range(3)]
-        patch = jnp.concatenate(cols, axis=-1)  # (tt, 9*cin)
-        acc = jnp.dot(patch, w, preferred_element_type=jnp.float32)
+        acc = jnp.zeros((tt, cout), dtype=jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jnp.dot(
+                    x_s[r + dy, dx : dx + tt, :],
+                    w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
         y = jnp.maximum(acc * scale + bias, 0.0)
         out = jnp.maximum(out, y)
     o_ref[0, 0] = out.astype(o_ref.dtype)
@@ -79,7 +86,9 @@ def conv2d_bn_relu_fpool(
         tt //= 2
     assert t % tt == 0 and tt % 8 == 0, (t, tt)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # time padded (1, 7): 1 for the conv halo plus 6 slack so the 8-aligned
+    # tt+8 DMA windows stay in bounds on the last tile
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)))
     grid = (b, f // pool_f, t // tt)
     out = pl.pallas_call(
         functools.partial(_kernel, pf=pool_f, tt=tt, cin=cin, cout=cout),
@@ -95,7 +104,7 @@ def conv2d_bn_relu_fpool(
         ),
         out_shape=jax.ShapeDtypeStruct((b, f // pool_f, t, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((pool_f + 2, tt + 2, cin), x.dtype),
+            pltpu.VMEM((pool_f + 2, tt + 8, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
