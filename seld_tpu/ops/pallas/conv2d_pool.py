@@ -6,14 +6,18 @@ then BatchNorm/ReLU/MaxPool stream it back (reference structure
 model.py:261-287). This kernel never materializes it: each grid program
 computes the conv for one (pool-window x time-tile) patch in VMEM, applies
 the folded BN affine + ReLU, max-reduces over the pool window, and writes
-only the pooled output — an ``pf``-fold reduction in activation traffic.
+only the pooled output — a ``pf``-fold reduction in activation traffic.
+
+Halo handling: Mosaic restricts manual DMA slices to 128-multiple lane dims
+(empirically probed), which the small channel counts here (8/192) violate.
+Instead the wrapper pre-packs overlapping windows ONCE in XLA — rows grouped
+into (pf+2)-tall pool bands and time into (tt+8)-wide tiles (~1.27x the
+input bytes) — so the kernel uses plain pipelined BlockSpecs (automatic
+double buffering, no manual DMA).
 
 Scope: stride 1, 3x3 kernel, zero padding 1, pooling (pf, 1) over the
 frequency axis (the reference's pool_time='TCN' configuration). Inference
 path (BN running stats folded into scale/bias); training uses the XLA path.
-
-Layout: x (B, F, T, Cin) pre-padded by the wrapper to (B, F+2, T+2, Cin);
-w (3, 3, Cin, Cout); out (B, F//pf, T, Cout).
 """
 
 from __future__ import annotations
@@ -26,40 +30,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, s_ref, b_ref, o_ref, x_s, sem, *, pf, tt, cin, cout):
-    b = pl.program_id(0)
-    fo = pl.program_id(1)
-    ti = pl.program_id(2)
-
-    # halo copy: rows fo*pf .. fo*pf+pf+1, cols ti*tt .. ti*tt+tt+7 of padded
-    # x (the time window is tt+8, not tt+2: Mosaic requires 8-aligned DMA
-    # slice shapes along the sublane dimension)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(fo * pf, pf + 2), pl.ds(ti * tt, tt + 8), :],
-        x_s,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
+def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, cout):
     scale = s_ref[...]
     bias = b_ref[...]
+    x = x_ref[0, 0, :, 0]  # (pf+2, tt+8, cin)
 
-    # per-tap matmul accumulation (Mosaic cannot lower an im2col concat of
-    # non-lane-aligned slices); each tap is a (tt, cin) @ (cin, cout) MXU dot
+    # per-tap matmul accumulation; each tap is a (tt, cin) @ (cin, cout) MXU dot
     out = jnp.full((tt, cout), -jnp.inf, dtype=jnp.float32)
     for r in range(pf):
         acc = jnp.zeros((tt, cout), dtype=jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 acc = acc + jnp.dot(
-                    x_s[r + dy, dx : dx + tt, :],
+                    x[r + dy, dx : dx + tt, :],
                     w_ref[dy, dx],
                     preferred_element_type=jnp.float32,
                 )
         y = jnp.maximum(acc * scale + bias, 0.0)
         out = jnp.maximum(out, y)
     o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _pack_windows(x: jnp.ndarray, pf: int, tt: int) -> jnp.ndarray:
+    """(B, F, T, C) -> (B, F//pf, pf+2, T//tt, tt+8, C) overlapping windows
+    of the zero-padded input (conv halo 1 each side; time windows padded to
+    tt+8 for sublane alignment)."""
+    b, f, t, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)))
+    rows = jnp.stack([xp[:, i * pf : i * pf + pf + 2] for i in range(f // pf)], axis=1)
+    # rows: (B, F//pf, pf+2, T+8, C)
+    tiles = jnp.stack(
+        [rows[..., j * tt : j * tt + tt + 8, :] for j in range(t // tt)], axis=3
+    )
+    return tiles  # (B, F//pf, pf+2, T//tt, tt+8, C)
 
 
 def conv2d_bn_relu_fpool(
@@ -86,15 +89,18 @@ def conv2d_bn_relu_fpool(
         tt //= 2
     assert t % tt == 0 and tt % 8 == 0, (t, tt)
 
-    # time padded (1, 7): 1 for the conv halo plus 6 slack so the 8-aligned
-    # tt+8 DMA windows stay in bounds on the last tile
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)))
-    grid = (b, f // pool_f, t // tt)
+    xw = _pack_windows(x, pool_f, tt)
+    pf = pool_f
+    grid = (b, f // pf, t // tt)
     out = pl.pallas_call(
-        functools.partial(_kernel, pf=pool_f, tt=tt, cin=cin, cout=cout),
+        functools.partial(_kernel, pf=pf, tt=tt, cout=cout),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # padded x stays in HBM
+            pl.BlockSpec(
+                (1, 1, pf + 2, 1, tt + 8, cin),
+                lambda b, fo, ti: (b, fo, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((3, 3, cin, cout), lambda b, fo, ti: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
@@ -102,16 +108,12 @@ def conv2d_bn_relu_fpool(
         out_specs=pl.BlockSpec(
             (1, 1, tt, cout), lambda b, fo, ti: (b, fo, ti, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, f // pool_f, t, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((pool_f + 2, tt + 8, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, f // pf, t, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * f * t * 9 * cin * cout,
-            bytes_accessed=(b * f * t * cin + b * (f // pool_f) * t * cout) * x.dtype.itemsize,
+            bytes_accessed=(b * f * t * cin + b * (f // pf) * t * cout) * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, w, scale.reshape(1, cout), bias.reshape(1, cout))
+    )(xw, w, scale.reshape(1, cout), bias.reshape(1, cout))
     return out
