@@ -57,6 +57,11 @@ def fused_infer(model, variables, x, interpret: bool = False):
     """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
 
     x: (B, C, F, T) reference layout, like ``model.apply``.
+
+    NOTE: measured slower than ``model.apply`` on v5e for the flagship (see
+    ops/pallas/conv2d_pool.py STATUS); bench/serving use model.apply until
+    the kernel's im2col packing lands. Retained as the integration point and
+    for its parity test.
     """
     assert model.parallel_ConvTC_block in {"False", "false", "None", "none"}, (
         "fused_infer supports the single-trunk configuration"

@@ -18,6 +18,14 @@ double buffering, no manual DMA).
 Scope: stride 1, 3x3 kernel, zero padding 1, pooling (pf, 1) over the
 frequency axis (the reference's pool_time='TCN' configuration). Inference
 path (BN running stats folded into scale/bias); training uses the XLA path.
+
+STATUS (measured on v5e, flagship b16 bf16): the end-to-end fused path is
+currently ~1.5x SLOWER than XLA's native conv pipeline (249 ms vs 163 ms
+model-only) — the per-tap dots underutilize the MXU at cin=8 (K=8 of 128
+lanes) and the window packing costs a full input copy. Kept as correct,
+parity-tested infrastructure; the known fix is K-packed im2col in the packer
+(concat taps to K=72/1728) once Mosaic supports the needed concat layouts.
+The serving path (models/fused_infer.py) therefore defaults to XLA convs.
 """
 
 from __future__ import annotations
