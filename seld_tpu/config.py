@@ -163,12 +163,13 @@ class SELDConfig:
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16' (parity path stays f32)
     mesh_data: int = -1                   # data-parallel mesh axis size; -1 = all devices
     mesh_model: int = 1                   # model-parallel mesh axis size
+    use_remat: bool = True                # rematerialize ResBlock activations in training
 
     # ------------------------------------------------------------------
     _BOOL_FIELDS = frozenset({
         "use_cuda", "early_stopping", "fixed_seed", "phase", "use_lr_scheduler",
         "use_tcn", "use_bias_conv", "use_bias_linear", "verbose",
-        "use_time_distributed", "parallel_magphase", "use_se_block",
+        "use_time_distributed", "parallel_magphase", "use_se_block", "use_remat",
     })
     _LIST_FIELDS = frozenset({"pool_size", "cnn_filters", "D", "V", "fc_layers"})
 

@@ -56,4 +56,5 @@ def model_from_config(cfg) -> SELDModel:
         attention_impl=cfg.attention_impl,
         qconv_impl="pallas" if cfg.qconv_impl == "pallas" else "xla",
         compute_dtype=cfg.compute_dtype,
+        remat=cfg.use_remat,
     )

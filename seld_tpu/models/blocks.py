@@ -142,19 +142,24 @@ class TCBlock(nn.Module):
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
     dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # rematerialize each ResBlock's activations in the backward pass:
+        # training the flagship (T=4800, L=384) at batch 4 f32 otherwise
+        # needs ~19 GB of saved activations (> v5e HBM)
+        block_cls = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
         skip_sum = None
         for idx, dil in enumerate(dilation_schedule(self.D, self.dilation_mode)):
-            x, skip = ResBlock(
+            x, skip = block_cls(
                 domain=self.domain, G=self.G, U=self.U,
                 kernel_size=self.kernel_size_dilated_conv, dilation=dil,
                 spatial_dropout_rate=self.spatial_dropout_rate,
                 use_bias=self.use_bias, batch_norm=self.batch_norm,
                 qconv_impl=self.qconv_impl, dtype=self.dtype,
                 name=f"resblock_{idx}",
-            )(x, train=train)
+            )(x, train)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         out = nn.relu(skip_sum)
         if self.pool_time == "TCN":
@@ -211,6 +216,7 @@ class ConvTCBlock(nn.Module):
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
     dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -242,6 +248,6 @@ class ConvTCBlock(nn.Module):
             batch_norm=self.batch_norm,
             kernel_size_dilated_conv=self.kernel_size_dilated_conv,
             attention_impl=self.attention_impl, qconv_impl=self.qconv_impl,
-            dtype=self.dtype, name="tcn",
+            dtype=self.dtype, remat=self.remat, name="tcn",
         )(x, train=train)
         return x  # (B, T_pooled, V[-1])

@@ -90,6 +90,7 @@ class SELDModel(nn.Module):
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
     compute_dtype: str = "float32"
+    remat: bool = False
 
     @property
     def classifier_domain(self) -> str:
@@ -117,7 +118,8 @@ class SELDModel(nn.Module):
             V_kernel_size=self.V_kernel_size, dropout_perc=self.dropout_perc,
             use_bias=self.use_bias_conv, batch_norm=self.batch_norm,
             use_se_block=self.use_se_block, attention_impl=self.attention_impl,
-            qconv_impl=self.qconv_impl, dtype=self.compute_dtype, name=name,
+            qconv_impl=self.qconv_impl, dtype=self.compute_dtype,
+            remat=self.remat, name=name,
         )
 
     @nn.compact
