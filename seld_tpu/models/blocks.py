@@ -218,24 +218,34 @@ class ConvTCBlock(nn.Module):
     dtype: str = "float32"
     remat: bool = False
 
+    def _cnn_stage(self, x, i: int, c: int, pool, train: bool):
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = make_conv(
+            self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
+            use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
+        )(x)
+        if self.batch_norm in _BN_ON_CNN:
+            x = BatchNorm(dtype=cdt, name=f"cnn_bn_{i}")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = max_pool_2d(x, pool)
+        if self.use_se_block:
+            x = SEBlock(name=f"se_{i}")(x)
+        return nn.Dropout(self.dropout_perc)(x, deterministic=not train)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, F, T, C)
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(cdt)
+        # remat each CNN stage: the un-pooled conv activations (e.g. layer 1's
+        # (B, 256, 4800, C) — 3.5 GB f32 at batch 4) dominate training memory
+        stage = (
+            nn.remat(ConvTCBlock._cnn_stage, static_argnums=(2, 3, 4, 5))
+            if self.remat else ConvTCBlock._cnn_stage
+        )
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
-            x = make_conv(
-                self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
-                use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
-            )(x)
-            if self.batch_norm in _BN_ON_CNN:
-                x = BatchNorm(dtype=cdt, name=f"cnn_bn_{i}")(x, use_running_average=not train)
-            x = nn.relu(x)
-            x = max_pool_2d(x, pool)
-            if self.use_se_block:
-                x = SEBlock(name=f"se_{i}")(x)
-            x = nn.Dropout(self.dropout_perc)(x, deterministic=not train)
+            x = stage(self, x, i, c, pool, train)
         # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the
         # reference's permute(0,3,1,2)+reshape of (B, C, F, T).
         b, f, t, c = x.shape
