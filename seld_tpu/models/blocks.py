@@ -8,7 +8,7 @@ works on (B, F, T, C) NHWC.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

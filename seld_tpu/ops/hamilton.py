@@ -34,7 +34,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 # T[out_block][in_block] = (component_index, sign): the conv-orientation table.
 Q_TABLE = (

@@ -46,13 +46,10 @@ from seld_tpu.models import model_from_config
 from seld_tpu.parallel.mesh import make_mesh, shard_batch, shard_variables
 from seld_tpu.training.checkpoint import archive_checkpoints, load_checkpoint, save_checkpoint
 from seld_tpu.training.loss import seld_loss
-from seld_tpu.training.schedule import StepLRState, schedule_from_config
+from seld_tpu.training.schedule import schedule_from_config
 from seld_tpu.training.steps import (
-    TrainState,
     create_train_state,
-    get_learning_rate,
     make_infer_step,
-    make_optimizer,
     make_train_step,
     set_learning_rate,
 )
