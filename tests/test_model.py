@@ -162,3 +162,20 @@ def test_bfloat16_compute_close_to_f32(rng):
     assert sed16.dtype == jnp.float32 and doa16.dtype == jnp.float32
     assert float(jnp.max(jnp.abs(sed16 - sed32))) < 0.05
     assert float(jnp.max(jnp.abs(doa16 - doa32))) < 0.1
+
+
+def test_hamilton_transpose_conv_layer(rng):
+    """Layer-level transpose conv matches the op-level result."""
+    from seld_tpu.models.transpose_conv import HamiltonTransposeConv
+    from seld_tpu.ops import quaternion_transpose_conv
+
+    layer = HamiltonTransposeConv(features=8, kernel_size=3, ndim=1, stride=2, padding=1)
+    x = jnp.asarray(rng.standard_normal((2, 10, 4)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    ref = quaternion_transpose_conv(
+        x, variables["params"]["w"], variables["params"]["b"],
+        stride=2, padding=1, output_padding=0,
+    )
+    assert out.shape == (2, 19, 8)  # (10-1)*2 - 2*1 + 3 = 19
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
