@@ -179,3 +179,61 @@ def test_hamilton_transpose_conv_layer(rng):
     )
     assert out.shape == (2, 19, 8)  # (10-1)*2 - 2*1 + 3 = 19
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pool_time_cnn_parity(rng):
+    """pool_time='CNN': pooling happens in the front-end, TCN keeps time.
+
+    Covers reference model.py:252-267 (CNN pools [p_f, p_t]; TC_Block skips
+    its three time pools)."""
+    torch.manual_seed(3)
+    t = TINY
+    tm = SELDModelT(
+        freq=t["freq"], cin=8, domain="R", domain_classifier="same",
+        filters=list(t["filters"]), pool=[list(p) for p in t["pool"]], G=t["G"],
+        U=t["U"], V=list(t["V"]), vk=3, dilations=[1, 1, 2],
+        fc_layers=list(t["fc"]), bias_conv=False, bias_linear=True, bn="BN",
+        pool_time="CNN",
+    )
+    tm.train()
+    with torch.no_grad():
+        for _ in range(2):
+            tm(torch.randn(4, 8, t["freq"], t["time"]))
+    tm.eval()
+    x = rng.standard_normal((2, 8, t["freq"], t["time"])).astype(np.float32)
+    with torch.no_grad():
+        sed_ref, doa_ref = tm(torch.tensor(x))
+
+    fm = SELDModel(
+        time_dim=t["time"], freq_dim=t["freq"], input_channels=8,
+        output_classes=14, domain="R", cnn_filters=t["filters"],
+        pool_size=t["pool"], pool_time="CNN", D=t["D"],
+        dilation_mode="fibonacci", G=t["G"], U=t["U"], V=t["V"],
+        fc_layers=t["fc"], class_overlaps=3, use_bias_conv=False,
+        batch_norm="BN", attention_impl="full",
+    )
+    variables = import_reference_state_dict(tm.state_dict())
+    sed, doa = fm.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    assert sed.shape == sed_ref.shape == (2, 4, 42)  # 32 / (2*2*2)
+    np.testing.assert_allclose(np.asarray(sed), sed_ref.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(doa), doa_ref.numpy(), atol=5e-4)
+
+
+def test_multi_stack_model(rng):
+    """Multi-stack D=[2,3] with exponential dilations forward-checks."""
+    model = SELDModel(
+        time_dim=TINY["time"], freq_dim=TINY["freq"], input_channels=8,
+        domain="Q", cnn_filters=TINY["filters"], pool_size=TINY["pool"],
+        pool_time="TCN", D=(2, 3), dilation_mode="exp", G=16, U=16,
+        V=TINY["V"], fc_layers=TINY["fc"], attention_impl="full",
+    )
+    assert "I" in model.model_name and "S2" in model.model_name
+    x = jnp.asarray(rng.standard_normal((1, 8, TINY["freq"], TINY["time"])).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed, doa = model.apply(variables, x, train=False)
+    assert sed.shape == (1, 4, 42)
+    # 2+3 resblocks exist
+    assert "resblock_4" in variables["params"]["seld_block"]["tcn"]

@@ -154,12 +154,13 @@ class ResBlockT(nn.Module):
 
 
 class TCBlockT(nn.Module):
-    def __init__(self, L, domain, G, U, V, vk, pool, dilations, bias, bn):
+    def __init__(self, L, domain, G, U, V, vk, pool, dilations, bias, bn, pool_time="TCN"):
         super().__init__()
         self.ResBlocks = nn.ModuleList(
             [ResBlockT(L, domain, G, U, 3, d, bias, bn) for d in dilations]
         )
         self.pool = pool
+        self.pool_time = pool_time
         self.conv1 = conv_for(domain, U, V[0], vk, 1, 1, bias)
         self.attention = MHAT(V[0], 8)
         self.conv2 = conv_for(domain, V[0], V[1], vk, 1, 1, bias)
@@ -170,19 +171,23 @@ class TCBlockT(nn.Module):
             x, skip = blk(x)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         out = F.relu(skip_sum)
-        out = F.max_pool1d(out, self.pool[0][1])
+        if self.pool_time == "TCN":
+            out = F.max_pool1d(out, self.pool[0][1])
         out = self.conv1(out)
         out = self.attention(out.permute(0, 2, 1)).permute(0, 2, 1)
         out = F.relu(out)
-        out = F.max_pool1d(out, self.pool[1][1])
+        if self.pool_time == "TCN":
+            out = F.max_pool1d(out, self.pool[1][1])
         out = self.conv2(out)
         out = torch.tanh(out)
-        out = F.max_pool1d(out, self.pool[2][1])
+        if self.pool_time == "TCN":
+            out = F.max_pool1d(out, self.pool[2][1])
         return out
 
 
 class ConvTCBlockT(nn.Module):
-    def __init__(self, freq, cin, domain, filters, pool, G, U, V, vk, dilations, bias, bn):
+    def __init__(self, freq, cin, domain, filters, pool, G, U, V, vk, dilations, bias, bn,
+                 pool_time="TCN"):
         super().__init__()
         blocks = []
         c_prev = cin
@@ -193,9 +198,13 @@ class ConvTCBlockT(nn.Module):
             blocks.append(nn.Sequential(*mods))
             c_prev = c
         self.cnn = nn.Sequential(*blocks)
-        self.pools = [(p[0], 1) for p in pool]
+        if pool_time == "CNN":
+            self.pools = [(p[0], p[1]) for p in pool]
+        else:
+            self.pools = [(p[0], 1) for p in pool]
         L = freq // (pool[0][0] * pool[1][0] * pool[2][0]) * filters[-1]
-        self.tcn = TCBlockT(L, domain, G, U, V, vk, pool, dilations, bias, bn)
+        self.tcn = TCBlockT(L, domain, G, U, V, vk, pool, dilations, bias, bn,
+                            pool_time=pool_time)
 
     def forward(self, x):
         for i, blk in enumerate(self.cnn):
@@ -211,16 +220,17 @@ class SELDModelT(nn.Module):
 
     def __init__(self, freq, cin, domain, domain_classifier, filters, pool, G, U, V,
                  vk, dilations, fc_layers, classes=14, overlaps=3, bias_conv=False,
-                 bias_linear=True, bn="BN", parallel=False, magphase=False):
+                 bias_linear=True, bn="BN", parallel=False, magphase=False,
+                 pool_time="TCN"):
         super().__init__()
         self.parallel, self.magphase, self.cin = parallel, magphase, cin
         cdom = domain if domain_classifier == "same" else domain_classifier
         if parallel:
-            self.branch_A = ConvTCBlockT(freq, cin // 2, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn)
-            self.branch_B = ConvTCBlockT(freq, cin // 2, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn)
+            self.branch_A = ConvTCBlockT(freq, cin // 2, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn, pool_time)
+            self.branch_B = ConvTCBlockT(freq, cin // 2, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn, pool_time)
             fc_in = V[-1] * 2
         else:
-            self.seld_block = ConvTCBlockT(freq, cin, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn)
+            self.seld_block = ConvTCBlockT(freq, cin, domain, filters, pool, G, U, V, vk, dilations, bias_conv, bn, pool_time)
             fc_in = V[-1]
         sed_out = classes * overlaps
         sed_list, doa_list = [], []
