@@ -7,3 +7,4 @@ from seld_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_variables,
 )
+from seld_tpu.parallel.dp_step import make_dp_train_step, replicate_state  # noqa: F401

@@ -73,3 +73,58 @@ def test_param_partition_spec_rules():
     odd = np.zeros((4, 3))
     assert param_partition_spec(odd, 2) == P()
     assert param_partition_spec(w, 1) == P()
+
+
+def test_shard_map_dp_step_matches_global(rng):
+    """Explicit shard_map DP step == single-device step when BN/dropout are off."""
+    from seld_tpu.parallel.dp_step import make_dp_train_step, replicate_state
+    from seld_tpu.training import create_train_state, make_train_step
+
+    cfg = SELDConfig(
+        domain="Q", input_channels=8, freq_dim=16, time_dim=16,
+        cnn_filters=[8, 8, 8], pool_size=[[2, 2], [2, 2], [2, 2]],
+        D=[2], G=8, U=8, V=[16, 16], fc_layers=[16], batch_size=8,
+        lr=1e-3, attention_impl="full", pool_time="TCN",
+        batch_norm="noBN", spatial_dropout_rate=0.0, dropout_perc=0.0,
+        fc_dropout="none", use_remat=False,
+    )
+    model = model_from_config(cfg)
+    x = jnp.asarray(rng.standard_normal((8, 8, 16, 16)).astype(np.float32))
+    y = jnp.zeros((8, 2, 168), jnp.float32)
+
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+    ref_step = make_train_step(model, tx, cfg)
+    ref_state, ref_loss = ref_step(
+        jax.tree_util.tree_map(jnp.copy, state), x, y
+    )
+
+    mesh = make_mesh(8, 1)
+    dp_step = make_dp_train_step(model, tx, cfg, mesh)
+    dstate = replicate_state(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    xb, yb = shard_batch(mesh, x, y)
+    dstate, dloss = dp_step(dstate, xb, yb)
+
+    assert float(dloss) == pytest.approx(float(ref_loss), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(dstate.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_map_dp_step_with_bn_runs(rng):
+    from seld_tpu.parallel.dp_step import make_dp_train_step, replicate_state
+    from seld_tpu.training import create_train_state
+
+    cfg = _cfg()
+    model = model_from_config(cfg)
+    x = jnp.asarray(rng.standard_normal((8, 8, 16, 16)).astype(np.float32))
+    y = jnp.zeros((8, 2, 168), jnp.float32)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+    mesh = make_mesh(8, 1)
+    dp_step = make_dp_train_step(model, tx, cfg, mesh)
+    state = replicate_state(state, mesh)
+    xb, yb = shard_batch(mesh, x, y)
+    state, loss1 = dp_step(state, xb, yb)
+    state, loss2 = dp_step(state, xb, yb)
+    assert np.isfinite(float(loss1)) and float(loss2) < float(loss1)
