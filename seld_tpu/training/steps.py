@@ -68,8 +68,6 @@ def get_learning_rate(state: TrainState) -> float:
 
 def make_train_step(model, tx, cfg):
     """Returns jitted (state, x, y) -> (state, loss). x is (B, C, F, T)."""
-    n_sed = int(cfg.output_classes * cfg.class_overlaps)
-
     precision = "highest" if cfg.compute_dtype == "float32" else "default"
 
     @functools.partial(jax.jit, donate_argnums=(0,))
