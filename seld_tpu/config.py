@@ -164,6 +164,7 @@ class SELDConfig:
     mesh_data: int = -1                   # data-parallel mesh axis size; -1 = all devices
     mesh_model: int = 1                   # model-parallel mesh axis size
     use_remat: bool = True                # rematerialize ResBlock activations in training
+    frontend_bands: int = 0               # >1: banded eval-time CNN stage 1 (serving memory cap)
 
     # ------------------------------------------------------------------
     _BOOL_FIELDS = frozenset({

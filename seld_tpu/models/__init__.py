@@ -57,4 +57,5 @@ def model_from_config(cfg) -> SELDModel:
         qconv_impl="pallas" if cfg.qconv_impl == "pallas" else "xla",
         compute_dtype=cfg.compute_dtype,
         remat=cfg.use_remat,
+        frontend_bands=cfg.frontend_bands,
     )

@@ -217,11 +217,16 @@ class ConvTCBlock(nn.Module):
     qconv_impl: str = "xla"
     dtype: str = "float32"
     remat: bool = False
+    frontend_bands: int = 0  # >1: banded eval-time first stage (memory cap)
 
-    def _cnn_stage(self, x, i: int, c: int, pool, train: bool):
+    def _cnn_stage(self, x, i: int, c: int, pool, train: bool, freq_halo: bool = False):
+        """One front-end stage. With ``freq_halo`` the input carries a 1-row
+        frequency halo on each side (banded execution): the conv runs VALID
+        over frequency, which is exactly the padded conv's interior."""
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = make_conv(
-            self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
+            self.domain, c, self.kernel_size_cnn_blocks, 2,
+            padding=(0, 1) if freq_halo else 1,
             use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
         )(x)
         if self.batch_norm in _BN_ON_CNN:
@@ -232,6 +237,33 @@ class ConvTCBlock(nn.Module):
             x = SEBlock(name=f"se_{i}")(x)
         return nn.Dropout(self.dropout_perc)(x, deterministic=not train)
 
+    def _cnn_stage_banded(self, x, i: int, c: int, pool, train: bool, n_bands: int):
+        """Sequential frequency-banded stage (nn.scan, shared params): caps the
+        peak activation at 1/n_bands of the full stage — the full-resolution
+        first-stage conv output (B, 256, T, C) is what bounds serving batch
+        size (BENCH.md). Output-identical to the direct stage (pool windows
+        never cross band boundaries)."""
+        b, f, t, ch = x.shape
+        bh = f // n_bands
+        assert f % n_bands == 0 and bh % pool[0] == 0, (f, n_bands, pool)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        bands = jnp.stack(
+            [xp[:, k * bh : k * bh + bh + 2] for k in range(n_bands)]
+        )  # (n_bands, B, bh+2, T, C)
+
+        def body(mdl, carry, xb):
+            return carry, ConvTCBlock._cnn_stage(mdl, xb, i, c, pool, train, True)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0,
+        )
+        _, ys = scan(self, 0, bands)  # (n_bands, B, bh//pf, T', C')
+        ys = jnp.moveaxis(ys, 0, 1)  # (B, n_bands, bh//pf, T', C')
+        return ys.reshape(b, (f // pool[0]), *ys.shape[3:])
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, F, T, C)
@@ -240,12 +272,18 @@ class ConvTCBlock(nn.Module):
         # remat each CNN stage: the un-pooled conv activations (e.g. layer 1's
         # (B, 256, 4800, C) — 3.5 GB f32 at batch 4) dominate training memory
         stage = (
-            nn.remat(ConvTCBlock._cnn_stage, static_argnums=(2, 3, 4, 5))
+            nn.remat(ConvTCBlock._cnn_stage, static_argnums=(2, 3, 4, 5, 6))
             if self.remat else ConvTCBlock._cnn_stage
         )
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
-            x = stage(self, x, i, c, pool, train)
+            if (
+                i == 0 and self.frontend_bands > 1 and not train
+                and pool[1] == 1 and not self.use_se_block
+            ):
+                x = self._cnn_stage_banded(x, i, c, pool, train, self.frontend_bands)
+            else:
+                x = stage(self, x, i, c, pool, train)
         # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the
         # reference's permute(0,3,1,2)+reshape of (B, C, F, T).
         b, f, t, c = x.shape

@@ -91,6 +91,7 @@ class SELDModel(nn.Module):
     qconv_impl: str = "xla"
     compute_dtype: str = "float32"
     remat: bool = False
+    frontend_bands: int = 0
 
     @property
     def classifier_domain(self) -> str:
@@ -119,7 +120,7 @@ class SELDModel(nn.Module):
             use_bias=self.use_bias_conv, batch_norm=self.batch_norm,
             use_se_block=self.use_se_block, attention_impl=self.attention_impl,
             qconv_impl=self.qconv_impl, dtype=self.compute_dtype,
-            remat=self.remat, name=name,
+            remat=self.remat, frontend_bands=self.frontend_bands, name=name,
         )
 
     @nn.compact

@@ -237,3 +237,21 @@ def test_multi_stack_model(rng):
     assert sed.shape == (1, 4, 42)
     # 2+3 resblocks exist
     assert "resblock_4" in variables["params"]["seld_block"]["tcn"]
+
+
+def test_banded_frontend_matches_direct(rng):
+    """frontend_bands>1 must be output-identical to the direct front-end."""
+    from seld_tpu.models.blocks import ConvTCBlock
+
+    kw = dict(
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), batch_norm="BN",
+        use_bias=False, attention_impl="full",
+    )
+    direct = ConvTCBlock(**kw)
+    banded = ConvTCBlock(frontend_bands=4, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    variables = direct.init(jax.random.PRNGKey(0), x, train=False)
+    out_d = direct.apply(variables, x, train=False)
+    out_b = banded.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
