@@ -29,7 +29,11 @@ def load_task2_pickles(cfg) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray
         reader = PakReader(cfg.training_predictors_path)
         predictors, targets = {}, {}
         for split in ("train", "val", "test"):
-            predictors[split], targets[split] = reader.split(split)
+            x, y = reader.split(split)
+            # copy out of the mmap: the reader (and its mapping) doesn't
+            # outlive this function, and normalization mutates anyway
+            predictors[split], targets[split] = np.array(x), np.array(y)
+        reader.close()
         return predictors, targets
     paths = {
         ("train", "x"): cfg.training_predictors_path,

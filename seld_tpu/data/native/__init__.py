@@ -177,7 +177,10 @@ class PakReader:
         return tuple(self._np_tensors[idx].shape)
 
     def tensor(self, idx: int) -> np.ndarray:
-        """Zero-copy view of a whole tensor."""
+        """Zero-copy view of a whole tensor.
+
+        The view is only valid while this reader is open — copy
+        (``np.array``) anything that must outlive it."""
         shape = self.shape(idx)
         if self._lib:
             ptr = self._lib.seldio_tensor_data(self._handle, idx)

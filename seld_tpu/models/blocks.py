@@ -283,7 +283,7 @@ class ConvTCBlock(nn.Module):
             ):
                 x = self._cnn_stage_banded(x, i, c, pool, train, self.frontend_bands)
             else:
-                x = stage(self, x, i, c, pool, train)
+                x = stage(self, x, i, c, pool, train, False)
         # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the
         # reference's permute(0,3,1,2)+reshape of (B, C, F, T).
         b, f, t, c = x.shape

@@ -255,3 +255,38 @@ def test_banded_frontend_matches_direct(rng):
     out_d = direct.apply(variables, x, train=False)
     out_b = banded.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
+
+
+def test_fc_relu_head_parity(rng):
+    """fc_activations='relu' head variant (reference model.py:442-444)."""
+    torch.manual_seed(5)
+    t = TINY
+    tm = SELDModelT(
+        freq=t["freq"], cin=8, domain="Q", domain_classifier="R",
+        filters=list(t["filters"]), pool=[list(p) for p in t["pool"]], G=t["G"],
+        U=t["U"], V=list(t["V"]), vk=3, dilations=[1, 1, 2],
+        fc_layers=list(t["fc"]), bias_conv=False, bias_linear=True, bn="BN",
+        fc_activations="relu",
+    )
+    tm.train()
+    with torch.no_grad():
+        tm(torch.randn(4, 8, t["freq"], t["time"]))
+    tm.eval()
+    x = rng.standard_normal((2, 8, t["freq"], t["time"])).astype(np.float32)
+    with torch.no_grad():
+        sed_ref, doa_ref = tm(torch.tensor(x))
+    fm = SELDModel(
+        time_dim=t["time"], freq_dim=t["freq"], input_channels=8,
+        output_classes=14, domain="Q", domain_classifier="R",
+        cnn_filters=t["filters"], pool_size=t["pool"], pool_time="TCN",
+        D=t["D"], G=t["G"], U=t["U"], V=t["V"], fc_layers=t["fc"],
+        fc_activations="relu", class_overlaps=3, use_bias_conv=False,
+        batch_norm="BN", attention_impl="full",
+    )
+    variables = import_reference_state_dict(tm.state_dict())
+    sed, doa = fm.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(sed), sed_ref.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(doa), doa_ref.numpy(), atol=5e-4)

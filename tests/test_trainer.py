@@ -134,3 +134,16 @@ def test_predict_cli(tmp_path, monkeypatch, rng):
         "--out-dir", str(tmp_path / "subs"),
     ])
     assert (tmp_path / "subs" / "clip.csv").exists()
+
+
+def test_trainer_with_seldpak(tmp_path, monkeypatch):
+    """The native .seldpak dataset path drives the trainer end-to-end."""
+    from seld_tpu.data.native import pack_dataset
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path)
+    pak = pack_dataset(cfg, str(tmp_path / "data.seldpak"))
+    cfg = cfg.replace(training_predictors_path=pak)
+    trainer = Trainer(cfg, verbose=False)
+    results = trainer.run(max_epochs=1)
+    assert np.isfinite(results["test_loss"])

@@ -221,7 +221,7 @@ class SELDModelT(nn.Module):
     def __init__(self, freq, cin, domain, domain_classifier, filters, pool, G, U, V,
                  vk, dilations, fc_layers, classes=14, overlaps=3, bias_conv=False,
                  bias_linear=True, bn="BN", parallel=False, magphase=False,
-                 pool_time="TCN"):
+                 pool_time="TCN", fc_activations="linear"):
         super().__init__()
         self.parallel, self.magphase, self.cin = parallel, magphase, cin
         cdom = domain if domain_classifier == "same" else domain_classifier
@@ -237,6 +237,9 @@ class SELDModelT(nn.Module):
         for width in fc_layers:
             sed_list.append(linear_for(cdom, fc_in, width, bias_linear))
             doa_list.append(linear_for(cdom, fc_in, width, bias_linear))
+            if fc_activations in {"relu", "ReLU", "RELU"}:
+                sed_list.append(nn.ReLU())
+                doa_list.append(nn.ReLU())
             fc_in = width
         self.sed = nn.Sequential(*sed_list, nn.Linear(fc_layers[-1], sed_out, bias=bias_linear))
         self.doa = nn.Sequential(*doa_list, nn.Linear(fc_layers[-1], sed_out * 3, bias=bias_linear))
