@@ -50,11 +50,15 @@ class HamiltonConv(nn.Module):
     init_criterion: str = "glorot"
     impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
+    rotation: bool = False
+    quaternion_format: bool = False
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         n = self.n_components
+        if self.rotation:
+            return self._rotation_call(x, cin)
         if cin % n or self.features % n:
             raise ValueError(
                 f"channels ({cin}->{self.features}) must divide n_components={n}"
@@ -91,6 +95,45 @@ class HamiltonConv(nn.Module):
             dilation=self.dilation,
         )
 
+    def _rotation_call(self, x, cin: int):
+        """W*x*W† rotation path (reference quaternion_layers.py:151-157).
+
+        Input/output channels are 3 (or 4 with ``quaternion_format``) times
+        the per-component width; the reference sizes its bias at the nominal
+        ``out_channels`` which breaks broadcasting in the 3x case — we size
+        it at the actual output width instead.
+        """
+        if self.n_components != 4:
+            raise ValueError("rotation is defined for quaternion (4-component) layers only")
+        from seld_tpu.ops.quaternion import quaternion_conv_rotation
+
+        blocks = 4 if self.quaternion_format else 3
+        if cin % blocks or self.features % 4:
+            raise ValueError(f"rotation channels ({cin}->{self.features}) need /{blocks} and /4")
+        k = _ntuple(self.kernel_size, self.ndim)
+        w = self.param(
+            "w",
+            lambda key: component_init(
+                key,
+                (*k, cin // blocks, self.features // 4),
+                n_components=4,
+                weight_init=self.weight_init,
+                criterion=self.init_criterion,
+            ),
+        )
+        out_feats = blocks * (self.features // 4)
+        b = self.param("b", nn.initializers.zeros, (out_feats,)) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        return quaternion_conv_rotation(
+            x.astype(dtype),
+            w.astype(dtype),
+            None if b is None else b.astype(dtype),
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            quaternion_format=self.quaternion_format,
+        )
+
 
 class HamiltonLinear(nn.Module):
     """Quaternion (4) or dual-quaternion (8) linear layer.
@@ -104,11 +147,15 @@ class HamiltonLinear(nn.Module):
     init_criterion: str = "glorot"
     impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
+    rotation: bool = False
+    quaternion_format: bool = False
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         n = self.n_components
+        if self.rotation:
+            return self._rotation_call(x, cin)
         if cin % n or self.features % n:
             raise ValueError(
                 f"features ({cin}->{self.features}) must divide n_components={n}"
@@ -136,6 +183,35 @@ class HamiltonLinear(nn.Module):
             return pallas_dq_linear(xd, wd, bd, conv_table=False)
         fn = quaternion_linear if n == 4 else dual_quaternion_linear
         return fn(xd, wd, bd)
+
+    def _rotation_call(self, x, cin: int):
+        """Rotation-parameterized linear (reference quaternion_layers.py:212-214)."""
+        if self.n_components != 4:
+            raise ValueError("rotation is defined for quaternion (4-component) layers only")
+        from seld_tpu.ops.quaternion import quaternion_linear_rotation
+
+        blocks = 4 if self.quaternion_format else 3
+        if cin % blocks or self.features % 4:
+            raise ValueError(f"rotation features ({cin}->{self.features}) need /{blocks} and /4")
+        w = self.param(
+            "w",
+            lambda key: component_init(
+                key,
+                (cin // blocks, self.features // 4),
+                n_components=4,
+                weight_init=self.weight_init,
+                criterion=self.init_criterion,
+            ),
+        )
+        out_feats = blocks * (self.features // 4)
+        b = self.param("b", nn.initializers.zeros, (out_feats,)) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        return quaternion_linear_rotation(
+            x.astype(dtype),
+            w.astype(dtype),
+            None if b is None else b.astype(dtype),
+            quaternion_format=self.quaternion_format,
+        )
 
 
 class RealConv(nn.Module):
@@ -212,17 +288,36 @@ def make_linear(
 
 
 def max_pool_time(x: jnp.ndarray, pool: int) -> jnp.ndarray:
-    """MaxPool1d over the time axis of (B, T, C); floor division like torch."""
+    """MaxPool1d over the time axis of (B, T, C); floor division like torch.
+
+    Non-overlapping pools are a reshape + max: identical forward values, but
+    the backward is an elementwise compare/where instead of reduce_window's
+    select-and-scatter — the round-1 training-memory peak (BENCH.md). Ties
+    split the gradient (torch routes it to the first max; ties are
+    measure-zero for real activations).
+    """
     if pool == 1:
         return x
-    return nn.max_pool(x, window_shape=(pool,), strides=(pool,), padding="VALID")
+    b, t, c = x.shape
+    t_out = t // pool
+    if t_out * pool != t:
+        x = x[:, : t_out * pool]
+    return jnp.max(x.reshape(b, t_out, pool, c), axis=2)
 
 
 def max_pool_2d(x: jnp.ndarray, pool: Tuple[int, int]) -> jnp.ndarray:
-    """MaxPool2d over (B, F, T, C); floor division like torch."""
+    """MaxPool2d over (B, F, T, C); floor division like torch.
+
+    Reshape + max like :func:`max_pool_time` (select-and-scatter-free
+    backward)."""
     if pool[0] == 1 and pool[1] == 1:
         return x
-    return nn.max_pool(x, window_shape=tuple(pool), strides=tuple(pool), padding="VALID")
+    b, f, t, c = x.shape
+    pf, pt = int(pool[0]), int(pool[1])
+    f_out, t_out = f // pf, t // pt
+    if f_out * pf != f or t_out * pt != t:
+        x = x[:, : f_out * pf, : t_out * pt]
+    return jnp.max(x.reshape(b, f_out, pf, t_out, pt, c), axis=(2, 4))
 
 
 class SpatialDropout1D(nn.Module):

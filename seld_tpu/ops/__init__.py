@@ -24,8 +24,11 @@ from seld_tpu.ops.hamilton import (  # noqa: F401
 from seld_tpu.ops.quaternion import (  # noqa: F401
     quaternion_conv,
     quaternion_linear,
+    quaternion_conv_rotation,
+    quaternion_linear_rotation,
     quaternion_rotation_kernel,
     quaternion_transpose_conv,
+    quaternion_transpose_conv_rotation,
 )
 from seld_tpu.ops.dual_quaternion import (  # noqa: F401
     dual_quaternion_conv,

@@ -157,12 +157,22 @@ def quaternion_linear(x: jnp.ndarray, comps: jnp.ndarray, bias=None) -> jnp.ndar
     return out
 
 
-def quaternion_rotation_kernel(comps: jnp.ndarray, quaternion_format: bool = False) -> jnp.ndarray:
+def quaternion_rotation_kernel(
+    comps: jnp.ndarray,
+    quaternion_format: bool = False,
+    conv_orientation: bool = False,
+) -> jnp.ndarray:
     """Rotation-reparameterized kernel R such that R@x ~ W*x*W† (reference
     quaternion_ops.py:174-233 / 330-388). Components (4, ..., cin, cout).
 
     Returns the assembled real kernel in (in, out) orientation: shape
     (..., 3*cin, 3*cout) or (..., 4*cin, 4*cout) when ``quaternion_format``.
+
+    The reference's *conv* rotation kernel (quaternion_ops.py:174-233, torch
+    weight layout (out, in, k)) is the transpose of its *linear* one
+    (quaternion_ops.py:330-388, layout (in, out)) — the off-diagonal ±
+    pairings swap. ``conv_orientation`` selects the conv table; the default
+    matches the linear / transposed-conv one.
     """
     r, i, j, k = comps[0], comps[1], comps[2], comps[3]
     norm_factor = 2.0 * jnp.sqrt(r * r + i * i + j * j + k * k)
@@ -177,9 +187,86 @@ def quaternion_rotation_kernel(comps: jnp.ndarray, quaternion_format: bool = Fal
         [ij - rk, 1.0 - (sq_i + sq_k), jk + ri],
         [ik + rj, jk - ri, 1.0 - (sq_i + sq_j)],
     ]
+    if conv_orientation:
+        rows = [[rows[b][a] for b in range(3)] for a in range(3)]
     if quaternion_format:
         zero = jnp.zeros_like(r)
         rows = [[zero, zero, zero, zero]] + [[zero] + row for row in rows]
         # reference places the zero row first along out axis and zero col first along in axis
     blocks = [jnp.concatenate(row, axis=-1) for row in rows]
     return jnp.concatenate(blocks, axis=-2)
+
+
+def quaternion_conv_rotation(
+    x: jnp.ndarray,
+    comps: jnp.ndarray,
+    bias=None,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    groups: int = 1,
+    quaternion_format: bool = False,
+) -> jnp.ndarray:
+    """Rotation-parameterized quaternion conv (reference quaternion_ops.py:174-233).
+
+    comps (4, *k, Cin', Cout'); input channels must be 3*Cin' (or 4*Cin' when
+    ``quaternion_format``, whose first channel block is annihilated — the
+    reference zero-blocks row/col 0).
+    """
+    kernel = quaternion_rotation_kernel(comps, quaternion_format, conv_orientation=True)
+    return conv_nd(x, kernel, bias, stride, padding, dilation, groups)
+
+
+def quaternion_linear_rotation(
+    x: jnp.ndarray, comps: jnp.ndarray, bias=None, quaternion_format: bool = False
+) -> jnp.ndarray:
+    """Rotation-parameterized quaternion linear (reference quaternion_ops.py:330-388)."""
+    w = quaternion_rotation_kernel(comps, quaternion_format)
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.dot(x, w, preferred_element_type=x.dtype, precision=precision)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def quaternion_transpose_conv_rotation(
+    x: jnp.ndarray,
+    comps: jnp.ndarray,
+    bias=None,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    output_padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    quaternion_format: bool = False,
+) -> jnp.ndarray:
+    """Rotation-parameterized transposed conv (reference quaternion_ops.py:237-295).
+
+    torch's conv_transpose weight layout is (in, out, *k), so the rotation
+    table keeps the linear orientation; the transpose-conv plumbing matches
+    ``quaternion_transpose_conv``.
+    """
+    n = x.ndim - 2
+    kernel = quaternion_rotation_kernel(comps, quaternion_format)  # (*k, IN, OUT)
+    strides = _norm_tuple(stride, n)
+    pads = _norm_tuple(padding, n)
+    opads = _norm_tuple(output_padding, n)
+    dils = _norm_tuple(dilation, n)
+    ks = kernel.shape[:n]
+    pad_cfg = [
+        (dils[i] * (ks[i] - 1) - pads[i], dils[i] * (ks[i] - 1) - pads[i] + opads[i])
+        for i in range(n)
+    ]
+    kernel = jnp.flip(kernel, axis=tuple(range(n)))
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,) * n,
+        padding=pad_cfg,
+        lhs_dilation=strides,
+        rhs_dilation=dils,
+        dimension_numbers=_CONV_DIMS[n],
+        precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
+    )
+    if bias is not None:
+        out = out + bias
+    return out

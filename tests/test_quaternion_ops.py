@@ -215,3 +215,123 @@ def test_get_normalized_unit_modulus(rng):
     out = get_normalized(x)
     mod = np.asarray(get_modulus(out, vector_form=True))
     np.testing.assert_allclose(mod, 1.0, atol=1e-3)
+
+
+def _torch_rot_kernel(comps_t, quaternion_format, cat_dim0, cat_dim1):
+    """Reference-style rotation kernel via torch.cat (quaternion_ops.py:174-233,
+    330-388): cat component blocks along dim 0 within each rot_kernel and the
+    rot_kernels along dim 1 (the reference uses dims (0, 1) for all three
+    weight layouts)."""
+    r, i, j, k = [torch.tensor(c) for c in comps_t]
+    norm_factor = 2.0 * torch.sqrt(r * r + i * i + j * j + k * k)
+    sq_i, sq_j, sq_k = norm_factor * i * i, norm_factor * j * j, norm_factor * k * k
+    ri, rj, rk = norm_factor * r * i, norm_factor * r * j, norm_factor * r * k
+    ij, ik, jk = norm_factor * i * j, norm_factor * i * k, norm_factor * j * k
+    rot1 = [1.0 - (sq_j + sq_k), ij - rk, ik + rj]
+    rot2 = [ij + rk, 1.0 - (sq_i + sq_k), jk - ri]
+    rot3 = [ik - rj, jk + ri, 1.0 - (sq_i + sq_j)]
+    if quaternion_format:
+        zero = torch.zeros_like(r)
+        rots = [
+            torch.cat([zero] + rot, dim=cat_dim0) for rot in (rot1, rot2, rot3)
+        ]
+        zero2 = torch.zeros_like(rots[0])
+        return torch.cat([zero2] + rots, dim=cat_dim1)
+    rots = [torch.cat(rot, dim=cat_dim0) for rot in (rot1, rot2, rot3)]
+    return torch.cat(rots, dim=cat_dim1)
+
+
+@pytest.mark.parametrize("qf", [False, True])
+def test_q_conv_rotation_parity(rng, qf):
+    """quaternion_conv_rotation vs torch F.conv1d with the reference kernel
+    (reference quaternion_ops.py:174-233; torch weight layout (out, in, k):
+    cat dim 0 stacks output blocks, dim 1 input blocks)."""
+    from seld_tpu.ops import quaternion_conv_rotation
+
+    cin_b, cout_b, B, T, k = 3, 5, 2, 20, 3
+    blocks = 4 if qf else 3
+    comps_t = rng.standard_normal((4, cout_b, cin_b, k)).astype(np.float32)
+    w_torch = _torch_rot_kernel(comps_t, qf, cat_dim0=0, cat_dim1=1)
+    x = rng.standard_normal((B, blocks * cin_b, T)).astype(np.float32)
+    want = torch.nn.functional.conv1d(
+        torch.tensor(x), w_torch, None, 1, 1
+    ).numpy()
+
+    comps_ours = np.transpose(comps_t, (0, 3, 2, 1))  # (4, k, in, out)
+    got = np.asarray(
+        quaternion_conv_rotation(
+            jnp.asarray(np.transpose(x, (0, 2, 1))),
+            jnp.asarray(comps_ours),
+            padding=1,
+            quaternion_format=qf,
+        )
+    )
+    np.testing.assert_allclose(np.transpose(got, (0, 2, 1)), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("qf", [False, True])
+def test_q_linear_rotation_parity(rng, qf):
+    """quaternion_linear_rotation vs torch.mm with the reference kernel
+    (reference quaternion_ops.py:330-388; weight layout (in, out))."""
+    from seld_tpu.ops import quaternion_linear_rotation
+
+    cin_b, cout_b, B = 3, 5, 6
+    blocks = 4 if qf else 3
+    comps_t = rng.standard_normal((4, cin_b, cout_b)).astype(np.float32)
+    w_torch = _torch_rot_kernel(comps_t, qf, cat_dim0=0, cat_dim1=1)
+    x = rng.standard_normal((B, blocks * cin_b)).astype(np.float32)
+    bias = rng.standard_normal((blocks * cout_b,)).astype(np.float32)
+    want = torch.addmm(torch.tensor(bias), torch.tensor(x), w_torch).numpy()
+    got = np.asarray(
+        quaternion_linear_rotation(
+            jnp.asarray(x), jnp.asarray(comps_t), jnp.asarray(bias), quaternion_format=qf
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("qf", [False, True])
+def test_q_transpose_conv_rotation_parity(rng, qf):
+    """quaternion_transpose_conv_rotation vs torch F.conv_transpose1d
+    (reference quaternion_ops.py:237-295; conv_transpose weight layout
+    (in, out, k): cat dim 0 stacks input blocks, dim 1 output blocks)."""
+    from seld_tpu.ops import quaternion_transpose_conv_rotation
+
+    cin_b, cout_b, B, T, k = 3, 5, 2, 10, 3
+    blocks = 4 if qf else 3
+    comps_t = rng.standard_normal((4, cin_b, cout_b, k)).astype(np.float32)
+    w_torch = _torch_rot_kernel(comps_t, qf, cat_dim0=0, cat_dim1=1)
+    x = rng.standard_normal((B, blocks * cin_b, T)).astype(np.float32)
+    want = torch.nn.functional.conv_transpose1d(
+        torch.tensor(x), w_torch, None, 2, 1, 1
+    ).numpy()
+
+    comps_ours = np.transpose(comps_t, (0, 3, 1, 2))  # (4, k, in, out)
+    got = np.asarray(
+        quaternion_transpose_conv_rotation(
+            jnp.asarray(np.transpose(x, (0, 2, 1))),
+            jnp.asarray(comps_ours),
+            stride=2,
+            padding=1,
+            output_padding=1,
+            quaternion_format=qf,
+        )
+    )
+    np.testing.assert_allclose(np.transpose(got, (0, 2, 1)), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("layer_kind", ["conv", "linear"])
+def test_hamilton_layer_rotation_flag(rng, layer_kind):
+    """HamiltonConv/HamiltonLinear rotation= flag builds and runs, and the
+    non-quaternion_format output width is 3/4 of the nominal features."""
+    from seld_tpu.models.layers import HamiltonConv, HamiltonLinear
+
+    if layer_kind == "conv":
+        layer = HamiltonConv(16, 3, ndim=1, padding=1, rotation=True)
+        x = jnp.asarray(rng.standard_normal((2, 10, 12)).astype(np.float32))
+    else:
+        layer = HamiltonLinear(16, rotation=True)
+        x = jnp.asarray(rng.standard_normal((2, 12)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    assert out.shape[-1] == 12  # 3 * (16 // 4)
