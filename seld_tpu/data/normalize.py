@@ -17,7 +17,7 @@ Reimplements the reference trainer's normalization block
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -46,6 +46,76 @@ def _zscore_inplace(x: np.ndarray, sl: slice) -> None:
     std = np.std(x[:, sl])
     x[:, sl] -= mean
     x[:, sl] /= std
+
+
+def compute_norm_stats(
+    x: np.ndarray,
+    mode: str = "True",
+    n_mics: int = 1,
+    phase: bool = False,
+    domain: str = "DQ",
+) -> Optional[Dict[str, float]]:
+    """Per-split normalization statistics for the lazy (per-batch) path.
+
+    For z-score this is the split-global mean/std per channel group computed
+    in float64 (identical to the reference's whole-split statistics,
+    train.py:344-408); streams fine from an mmap view. UnitNorm and 'off'
+    modes are stateless (None).
+    """
+    if mode in _OFF:
+        return None
+    if mode in _DQ_MODES and n_mics == 2 and domain in _DQ_DOMAINS:
+        if phase:
+            raise ValueError(
+                "DATASET NORMALIZATION FOR PHASE DUAL QUATERNION NOT YET IMPLEMENTED"
+            )
+        return None
+    n_mag = 4 * n_mics
+    stats = {
+        "mag_mean": float(np.mean(x[:, :n_mag], dtype=np.float64)),
+        "mag_std": float(np.std(np.asarray(x[:, :n_mag], dtype=np.float64))),
+    }
+    if phase:
+        stats["phase_mean"] = float(np.mean(x[:, n_mag:], dtype=np.float64))
+        stats["phase_std"] = float(np.std(np.asarray(x[:, n_mag:], dtype=np.float64)))
+    return stats
+
+
+def make_batch_transform(
+    mode: str = "True",
+    n_mics: int = 1,
+    phase: bool = False,
+    domain: str = "DQ",
+    stats: Optional[Dict[str, float]] = None,
+):
+    """Per-batch normalizer equivalent to :func:`normalize_dataset`.
+
+    Returns ``fn(batch) -> batch`` applying the split's normalization to a
+    freshly-gathered batch (the native mmap loader path): UnitNorm is purely
+    per-sample; z-score uses the precomputed split statistics from
+    :func:`compute_norm_stats`.
+    """
+    if mode in _OFF:
+        return lambda x: x
+    if mode in _DQ_MODES and n_mics == 2 and domain in _DQ_DOMAINS:
+        if phase:
+            raise ValueError(
+                "DATASET NORMALIZATION FOR PHASE DUAL QUATERNION NOT YET IMPLEMENTED"
+            )
+        return dq_unitnorm
+    assert stats is not None, "z-score transform needs compute_norm_stats()"
+    n_mag = 4 * n_mics
+
+    def transform(x: np.ndarray) -> np.ndarray:
+        x = np.array(x, copy=True, dtype=np.float64)
+        x[:, :n_mag] -= stats["mag_mean"]
+        x[:, :n_mag] /= stats["mag_std"]
+        if phase:
+            x[:, n_mag:] -= stats["phase_mean"]
+            x[:, n_mag:] /= stats["phase_std"]
+        return x.astype(np.float32)
+
+    return transform
 
 
 def normalize_dataset(

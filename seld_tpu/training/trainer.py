@@ -96,6 +96,11 @@ class Trainer:
         n_dev = jax.device_count()
         n_model = max(1, cfg.mesh_model)
         n_data = cfg.mesh_data if cfg.mesh_data > 0 else max(1, n_dev // n_model)
+        # multihost: jax.devices() is global, so the mesh spans all hosts;
+        # loaders shard per host (setup_data) and batches reassemble into
+        # global arrays (_device_batch)
+        self.n_hosts = jax.process_count()
+        self.host_id = jax.process_index()
         self.mesh = make_mesh(n_data, n_model) if n_data * n_model > 1 else None
         self._log_fn = print if verbose else (lambda *a, **k: None)
 
@@ -105,16 +110,46 @@ class Trainer:
 
     def setup_data(self):
         cfg = self.cfg
-        predictors, targets = load_task2_pickles(cfg)
-        predictors = normalize_dataset(
-            predictors, mode=cfg.dataset_normalization, n_mics=cfg.n_mics,
-            phase=cfg.phase, domain=cfg.domain,
-        )
+        if str(cfg.training_predictors_path).endswith(".seldpak"):
+            # native path: splits stay in the mmap; batches are gathered by
+            # the C++ loader and normalized per batch (stats streamed once)
+            from seld_tpu.data.loader import make_pak_loaders
+            from seld_tpu.data.native import PakReader
+            from seld_tpu.data.normalize import compute_norm_stats, make_batch_transform
+
+            self._pak_reader = PakReader(cfg.training_predictors_path)
+            norm_args = dict(
+                mode=cfg.dataset_normalization, n_mics=cfg.n_mics,
+                phase=cfg.phase, domain=cfg.domain,
+            )
+            transforms = {}
+            for split in ("train", "val", "test"):
+                x_view, _ = self._pak_reader.split(split)
+                transforms[split] = make_batch_transform(
+                    stats=compute_norm_stats(x_view, **norm_args), **norm_args
+                )
+            self.loaders = make_pak_loaders(
+                self._pak_reader, cfg.batch_size, seed=1, transforms=transforms
+            )
+            if self.n_hosts > 1:
+                for it in self.loaders.values():
+                    it.num_shards, it.shard_id = self.n_hosts, self.host_id
+            test_shape = self._pak_reader.shape(self._pak_reader.SPLITS["test"][0])
+        else:
+            predictors, targets = load_task2_pickles(cfg)
+            predictors = normalize_dataset(
+                predictors, mode=cfg.dataset_normalization, n_mics=cfg.n_mics,
+                phase=cfg.phase, domain=cfg.domain,
+            )
+            self.loaders = make_loaders(predictors, targets, cfg.batch_size, seed=1)
+            if self.n_hosts > 1:
+                for it in self.loaders.values():
+                    it.num_shards, it.shard_id = self.n_hosts, self.host_id
+            test_shape = predictors["test"].shape
         drop_last = self.mesh is not None and self.mesh.shape["data"] > 1
-        self.loaders = make_loaders(predictors, targets, cfg.batch_size, seed=1)
         if drop_last:
             self.loaders["train"].drop_last = True
-        self.n_time_frames = predictors["test"].shape[-1]
+        self.n_time_frames = test_shape[-1]
         self.sample_input = jnp.zeros(
             (cfg.batch_size, cfg.input_channels, cfg.freq_dim, self.n_time_frames),
             jnp.float32,
@@ -145,6 +180,12 @@ class Trainer:
 
     # ------------------------------------------------------------- primitives
     def _device_batch(self, x, y):
+        if self.n_hosts > 1:
+            from seld_tpu.parallel import multihost
+
+            return multihost.global_batch(
+                self.mesh, np.asarray(x, np.float32), np.asarray(y, np.float32)
+            )
         x = jnp.asarray(x, jnp.float32)
         y = jnp.asarray(y, jnp.float32)
         if self.mesh is not None and x.shape[0] % self.mesh.shape["data"] == 0:
@@ -177,8 +218,17 @@ class Trainer:
         for x, y in loader:
             xb, _ = self._device_batch(x, y)
             sed, doa = self.infer_step(self.state.params, self.state.batch_stats, xb)
-            sed = np.asarray(sed)
-            doa = np.asarray(doa)
+            if self.n_hosts > 1:
+                # every host reassembles the full global batch and computes
+                # identical metrics (loaders are host-sharded in batch order)
+                from seld_tpu.parallel import multihost
+
+                sed = multihost.allgather_rows(multihost.local_rows(sed))
+                doa = multihost.allgather_rows(multihost.local_rows(doa))
+                y = multihost.allgather_rows(np.asarray(y, np.float32))
+            else:
+                sed = np.asarray(sed)
+                doa = np.asarray(doa)
             for b in range(sed.shape[0]):
                 tp, fp, fn = evaluate_test_outputs(
                     sed[b], doa[b], np.asarray(y[b]), eval_metrics, cfg

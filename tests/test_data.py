@@ -97,3 +97,32 @@ def test_batch_iterator_determinism(rng):
     it.set_epoch(2)
     c = [b[0].ravel().tolist() for b in it]
     assert a != c
+
+
+def test_batch_transform_matches_normalize_dataset(rng):
+    """Per-batch lazy normalization == whole-split normalize_dataset, for
+    z-score (phase on/off) and DQ UnitNorm modes."""
+    from seld_tpu.data.normalize import compute_norm_stats, make_batch_transform
+
+    cases = [
+        dict(mode="True", n_mics=2, phase=False, domain="R"),
+        dict(mode="True", n_mics=1, phase=True, domain="R"),
+        dict(mode="UnitNorm", n_mics=2, phase=False, domain="DQ"),
+        dict(mode="False", n_mics=2, phase=False, domain="DQ"),
+    ]
+    for kw in cases:
+        ch = 8 if not kw["phase"] else 8
+        x = rng.standard_normal((6, ch, 4, 10)).astype(np.float32) * 2 + 0.5
+        want = normalize_dataset({"train": x}, **kw)["train"]
+        tr = make_batch_transform(stats=compute_norm_stats(x, **kw), **kw)
+        got = np.concatenate([tr(x[:4]), tr(x[4:])], axis=0)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_missing_dataset_pickle_friendly_error(tmp_path):
+    cfg = SELDConfig(
+        training_predictors_path=str(tmp_path / "nope_x.pkl"),
+        training_target_path=str(tmp_path / "nope_y.pkl"),
+    )
+    with pytest.raises(FileNotFoundError, match="training_predictors_path"):
+        load_task2_pickles(cfg)

@@ -63,3 +63,35 @@ def test_pack_dataset_from_pickles(tmp_path):
         ref = np.asarray(pickle.load(f), dtype=np.float32)
     np.testing.assert_array_equal(x, ref)
     reader.close()
+
+
+def test_pak_batch_iterator_matches_inmemory(tmp_path, rng):
+    """PakBatchIterator (native gather + per-batch z-score) yields the exact
+    batches of the in-memory BatchIterator over normalize_dataset output."""
+    from seld_tpu.data.loader import BatchIterator, PakBatchIterator
+    from seld_tpu.data.normalize import (
+        compute_norm_stats,
+        make_batch_transform,
+        normalize_dataset,
+    )
+
+    x = rng.standard_normal((10, 8, 4, 6)).astype(np.float32) * 2 + 1
+    y = rng.standard_normal((10, 3, 168)).astype(np.float32)
+    path = str(tmp_path / "d.seldpak")
+    write_pak(path, [x, y, x[:2], y[:2], x[:2], y[:2]])
+    reader = PakReader(path)
+    assert reader.native
+
+    kw = dict(mode="True", n_mics=2, phase=False, domain="R")
+    want_x = normalize_dataset({"train": x}, **kw)["train"]
+    ref_it = BatchIterator(np.asarray(want_x), y, 4, shuffle=True, seed=7)
+    tr = make_batch_transform(stats=compute_norm_stats(x, **kw), **kw)
+    pak_it = PakBatchIterator(reader, "train", 4, shuffle=True, seed=7, transform=tr)
+    for epoch in (1, 2):
+        ref_it.set_epoch(epoch)
+        pak_it.set_epoch(epoch)
+        for (ax, ay), (bx, by) in zip(ref_it, pak_it):
+            np.testing.assert_allclose(bx, ax, rtol=1e-6, atol=1e-6)
+            np.testing.assert_array_equal(by, ay)
+    assert len(ref_it) == len(pak_it) == 3
+    reader.close()
