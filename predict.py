@@ -82,15 +82,35 @@ def main(argv=None):
     for path in args.inputs:
         audio = jnp.asarray(load_audio(path, cfg.sr), jnp.float32)
         if variables is None:
+            feats_shape = jax.eval_shape(
+                lambda a: spectrum_fast(
+                    a, nperseg=nperseg, noverlap=noverlap, output_phase=cfg.phase
+                ),
+                audio,
+            ).shape
             if args.checkpoint:
                 tstate, _, _ = load_checkpoint(args.checkpoint)
                 variables = {"params": tstate.params}
                 if tstate.batch_stats:
                     variables["batch_stats"] = tstate.batch_stats
+                # validate checkpoint-vs-config compatibility up front: a
+                # mismatched config otherwise fails later with an opaque
+                # tree/shape error inside model.apply
+                from seld_tpu.training.checkpoint import variable_shape_mismatches
+
+                expected = jax.eval_shape(
+                    lambda k: model.init(k, jnp.zeros((1, *feats_shape), jnp.float32), train=False),
+                    jax.random.PRNGKey(0),
+                )
+                diffs = variable_shape_mismatches(
+                    expected, {k: v for k, v in variables.items() if k in expected}
+                )
+                if diffs:
+                    raise SystemExit(
+                        f"checkpoint {args.checkpoint!r} does not match the model built "
+                        f"from config {args.TextArgs!r}:\n  " + "\n  ".join(diffs)
+                    )
             else:
-                feats_shape = spectrum_fast(
-                    audio, nperseg=nperseg, noverlap=noverlap, output_phase=cfg.phase
-                ).shape
                 variables = jax.jit(lambda k, s: model.init(k, s, train=False))(
                     jax.random.PRNGKey(0), jnp.zeros((1, *feats_shape), jnp.float32)
                 )

@@ -198,7 +198,8 @@ class SELDConfig:
 
 
 def tokens_to_config(tokens: List[str], base: Optional[SELDConfig] = None) -> SELDConfig:
-    """Fold ``['--key', 'value', ...]`` token pairs into a SELDConfig."""
+    """Fold ``['--key', 'value', ...]`` or ``['--key=value', ...]`` tokens
+    into a SELDConfig (both argparse spellings the reference CLI accepts)."""
     cfg = base if base is not None else SELDConfig()
     known = SELDConfig.field_names()
     updates = {}
@@ -208,10 +209,14 @@ def tokens_to_config(tokens: List[str], base: Optional[SELDConfig] = None) -> SE
         if not (isinstance(tok, str) and tok.startswith("--")):
             raise ValueError(f"expected a --key token, got {tok!r}")
         key = tok[2:]
-        if i + 1 >= len(tokens):
-            raise ValueError(f"flag {tok!r} has no value")
-        value = tokens[i + 1]
-        i += 2
+        if "=" in key:
+            key, value = key.split("=", 1)
+            i += 1
+        else:
+            if i + 1 >= len(tokens):
+                raise ValueError(f"flag {tok!r} has no value")
+            value = tokens[i + 1]
+            i += 2
         if key == "TextArgs":
             continue
         if key not in known:

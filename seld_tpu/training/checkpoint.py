@@ -72,6 +72,39 @@ def load_checkpoint(
     return payload["train_state"], payload["loop_state"], sched
 
 
+def variable_shape_mismatches(expected, loaded, max_items: int = 8) -> list:
+    """Human-readable differences between two variable pytrees.
+
+    ``expected`` comes from ``jax.eval_shape`` of the model's init under the
+    current config; ``loaded`` from a checkpoint. Returns [] when compatible;
+    otherwise a list of 'missing/unexpected/shape' description strings
+    (capped at ``max_items``) for a friendly config-vs-checkpoint error
+    instead of an opaque tree/shape failure.
+    """
+
+    def flat(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            out[key] = tuple(getattr(leaf, "shape", ()))
+        return out
+
+    e, g = flat(expected), flat(loaded)
+    diffs = []
+    for key in sorted(set(e) | set(g)):
+        if key not in g:
+            diffs.append(f"missing in checkpoint: {key} {e[key]}")
+        elif key not in e:
+            diffs.append(f"unexpected in checkpoint: {key} {g[key]}")
+        elif e[key] != g[key]:
+            diffs.append(f"shape mismatch: {key} config {e[key]} != checkpoint {g[key]}")
+    if len(diffs) > max_items:
+        diffs = diffs[:max_items] + [f"... and {len(diffs) - max_items} more"]
+    return diffs
+
+
 def archive_checkpoints(model_dir: str, epoch: int, files: Dict[str, str]) -> str:
     """Copy the given role->filename checkpoints into an epoch-stamped archive
     directory (reference train.py:676-688)."""
