@@ -8,3 +8,4 @@ from seld_tpu.parallel.mesh import (  # noqa: F401
     shard_variables,
 )
 from seld_tpu.parallel.dp_step import make_dp_train_step, replicate_state  # noqa: F401
+from seld_tpu.parallel import multihost  # noqa: F401

@@ -24,6 +24,15 @@ def main(argv=None):
                         help="Hard epoch cap (extension; default: reference early-stopping only)")
     args, extra = parser.parse_known_args(argv)
 
+    from seld_tpu.parallel import multihost
+
+    # env-driven (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID);
+    # single-process no-op. Must run before any backend use.
+    if multihost.initialize():
+        import jax
+
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+
     from seld_tpu.config import load_config, tokens_to_config
 
     cfg = load_config(args.TextArgs)
