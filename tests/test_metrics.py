@@ -178,3 +178,49 @@ def test_folder_metrics_flow(tmp_path):
     # controllable TP rate must move the aggregate F-score accordingly
     assert 0.6 <= f_hi <= 1.0
     assert f_lo < f_hi
+
+
+def test_sed_score_computation_loop_oracle(rng):
+    """sed_score_computation vs a direct per-frame loop oracle of the
+    reference counting (reference metrics.py:211-288): a TRUE event matches
+    if ANY same-class prediction exists in its frame (no consumption — FP can
+    go negative when duplicate true classes share one prediction), frames
+    with one side empty dump into FP/FN wholesale."""
+    n_frames = 25
+    for trial in range(5):
+        r = np.random.default_rng(100 + trial)
+
+        def events(n):
+            out = np.zeros((n, 5))
+            out[:, 0] = r.integers(0, n_frames, n)
+            out[:, 1] = r.integers(0, 4, n)  # few classes -> many duplicates
+            out[:, 2:] = r.standard_normal((n, 3))
+            return out
+
+        pred, true = events(40), events(35)
+
+        TP = FP = FN = 0
+        for f in range(n_frames):
+            t = [e for e in true if e[0] == f]
+            p = [e for e in pred if e[0] == f]
+            if len(t) == 0:
+                FP += len(p)
+            elif len(p) == 0:
+                FN += len(t)
+            else:
+                matched = sum(
+                    1 for e in t if any(e[1] == q[1] for q in p)
+                )
+                TP += matched
+                FN += len(t) - matched
+                FP += len(p) - matched
+        eps = sys.float_info.epsilon
+        precision = TP / (TP + FP + eps)
+        recall = TP / (TP + FN + eps)
+        F = 2 * precision * recall / (precision + recall + eps)
+        ER = (max(TP + FN, TP + FP) - TP) / (TP + FN)
+        want = float(np.mean([1 - F, ER]))
+
+        tp, fp, fn, sed_score = sed_score_computation(pred, true, n_frames)
+        assert (tp, fp, fn) == (TP, FP, FN), trial
+        assert sed_score == pytest.approx(want, abs=1e-12)
