@@ -186,3 +186,31 @@ def test_fused_infer_matches_model(rng):
     sed, doa = fused_infer(model, variables, x, interpret=True)
     np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("t,d", [(64, 16), (96, 48)])
+def test_flash_attention_grads_match_full(rng, t, d):
+    """Pallas flash-attention backward (custom VJP) vs XLA full attention."""
+    b, h = 2, 2
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    # non-uniform cotangent so dq/dk/dv are all exercised
+    w = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_full_attention(q, k, v, scale) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, scale, block_q=32, block_k=32, interpret=True) * w
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("qkv", g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=5e-4, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
