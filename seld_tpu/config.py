@@ -159,7 +159,7 @@ class SELDConfig:
     # TPU-framework extensions (not in the reference)
     use_se_block: bool = False            # opt-in SE module (claimed in ref README, absent in ref code)
     attention_impl: str = "auto"          # 'xla' | 'pallas' | 'auto'
-    qconv_impl: str = "auto"              # 'xla' | 'pallas' | 'auto'
+    qconv_impl: str = "auto"              # 'xla' | 'pallas' | 'int8' | 'auto'
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16' (parity path stays f32)
     mesh_data: int = -1                   # data-parallel mesh axis size; -1 = all devices
     mesh_model: int = 1                   # model-parallel mesh axis size

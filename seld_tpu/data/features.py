@@ -116,22 +116,51 @@ def spectrum_fast(
     as two MXU matmuls (faster on TPU); 'auto' picks matmul on TPU.
     """
     x = jnp.asarray(x, jnp.float32)
-    frames = stft_frames(x, nperseg, noverlap)
-    if cut_last_timeframe:
-        frames = frames[..., :-1, :]  # skip computing the dropped frame
     if method == "auto":
         method = "matmul" if jax.default_backend() != "cpu" else "fft"
-    if method == "matmul":
-        # fold the DC cut into the DFT matrix: 256 output lanes instead of 257
+    hop = nperseg - noverlap
+    if method == "matmul" and nperseg <= 2 * hop:
+        # Never materialize the frames tensor (it's ~2.6x the audio and the
+        # strided copy ran at ~56 GB/s effective — the round-1 STFT's entire
+        # cost, BENCH.md). Frame i is hop-block i plus the head of block i+1,
+        # so frames @ M == blocks[:-1] @ M[:hop] + blocks[1:, :tail] @ M[hop:]
+        # over the zero-cost reshape view `blocks`; the slices fuse into the
+        # matmul reads. cos|sin are one concatenated RHS -> a single pass.
+        half = nperseg // 2
+        pad_cfg = [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pad_cfg + [(half, half)])
+        n = xp.shape[-1]
+        rem = (-(n - nperseg)) % hop
+        n_frames = (n + rem - nperseg) // hop + 1
+        total = (n_frames + 1) * hop
+        xp = jnp.pad(xp, pad_cfg + [(0, total - n)])
+        blocks = xp.reshape(*x.shape[:-1], n_frames + 1, hop)
+        keep = n_frames - 1 if cut_last_timeframe else n_frames
+        tail = nperseg - hop
         cos_m, sin_m = _dft_matrices(nperseg, skip_dc=cut_dc)
-        re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
-        im = -jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+        m = jnp.asarray(np.concatenate([cos_m, sin_m], axis=1))  # (nperseg, 2F)
+        y = jnp.dot(
+            blocks[..., :keep, :], m[:hop], preferred_element_type=jnp.float32
+        ) + jnp.dot(
+            blocks[..., 1 : keep + 1, :tail], m[hop:], preferred_element_type=jnp.float32
+        )
+        n_bins = y.shape[-1] // 2
+        re, im = y[..., :n_bins], -y[..., n_bins:]
     else:
-        win = hamming_periodic(nperseg)
-        spec = jnp.fft.rfft(frames * win, axis=-1) / win.sum()
-        if cut_dc:
-            spec = spec[..., 1:]
-        re, im = jnp.real(spec), jnp.imag(spec)
+        frames = stft_frames(x, nperseg, noverlap)
+        if cut_last_timeframe:
+            frames = frames[..., :-1, :]  # skip computing the dropped frame
+        if method == "matmul":
+            # fold the DC cut into the DFT matrix: 256 output lanes not 257
+            cos_m, sin_m = _dft_matrices(nperseg, skip_dc=cut_dc)
+            re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
+            im = -jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+        else:
+            win = hamming_periodic(nperseg)
+            spec = jnp.fft.rfft(frames * win, axis=-1) / win.sum()
+            if cut_dc:
+                spec = spec[..., 1:]
+            re, im = jnp.real(spec), jnp.imag(spec)
     # scipy layout is (channels, freq, time)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)

@@ -54,7 +54,10 @@ def model_from_config(cfg) -> SELDModel:
         parallel_magphase=cfg.parallel_magphase,
         use_se_block=cfg.use_se_block,
         attention_impl=cfg.attention_impl,
-        qconv_impl="pallas" if cfg.qconv_impl == "pallas" else "xla",
+        # 'auto' maps to the XLA path: the fused Hamilton matmul and the
+        # int8 PTQ path are opt-in until they beat XLA on the flagship
+        # (measured in BENCH.md; tools/profile_stages.py section 'qmm')
+        qconv_impl=cfg.qconv_impl if cfg.qconv_impl in {"pallas", "int8"} else "xla",
         compute_dtype=cfg.compute_dtype,
         remat=cfg.use_remat,
         frontend_bands=cfg.frontend_bands,

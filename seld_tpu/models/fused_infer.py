@@ -18,7 +18,10 @@ import jax.numpy as jnp
 from seld_tpu.models.blocks import TCBlock
 from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
 from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
-from seld_tpu.ops.pallas.conv2d_pool import conv2d_bn_relu_fpool
+from seld_tpu.ops.pallas.conv2d_pool import (
+    conv2d_bn_relu_fpool,
+    conv2d_im2col_bn_relu_fpool,
+)
 from seld_tpu.ops.quaternion import quaternion_linear
 
 _BN_EPS = 1e-5
@@ -78,7 +81,11 @@ def fused_infer(model, variables, x, interpret: bool = False):
         scale, bias = _folded_affine(
             conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
         )
-        h = conv2d_bn_relu_fpool(
+        cin = h.shape[-1]
+        stage_fn = (
+            conv2d_im2col_bn_relu_fpool if 9 * cin <= 256 else conv2d_bn_relu_fpool
+        )
+        h = stage_fn(
             h, kernel, scale.astype(dtype), bias.astype(dtype),
             pool_f=int(pool[0]), interpret=interpret,
         )

@@ -87,6 +87,16 @@ class HamiltonConv(nn.Module):
             if n == 4:
                 return pallas_q_linear(xd, w_mat, bd)
             return pallas_dq_linear(xd, w_mat, bd, conv_table=True)
+        if self.impl == "int8" and pointwise:
+            from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
+            from seld_tpu.ops.pallas.quant import int8_matmul, quantize_weight_per_channel
+
+            assemble = assemble_q_kernel if n == 4 else assemble_dq_conv_kernel
+            w_full = assemble(
+                w.reshape(n, cin // n, self.features // n).astype(jnp.float32)
+            )
+            wq, ws = quantize_weight_per_channel(w_full)
+            return int8_matmul(xd, wq, ws, bd)
         fn = quaternion_conv if n == 4 else dual_quaternion_conv
         return fn(
             xd, wd, bd,
@@ -181,6 +191,13 @@ class HamiltonLinear(nn.Module):
             if n == 4:
                 return pallas_q_linear(xd, wd, bd)
             return pallas_dq_linear(xd, wd, bd, conv_table=False)
+        if self.impl == "int8":
+            from seld_tpu.ops.hamilton import assemble_dq_linear_kernel, assemble_q_kernel
+            from seld_tpu.ops.pallas.quant import int8_matmul, quantize_weight_per_channel
+
+            assemble = assemble_q_kernel if n == 4 else assemble_dq_linear_kernel
+            wq, ws = quantize_weight_per_channel(assemble(w.astype(jnp.float32)))
+            return int8_matmul(xd, wq, ws, bd)
         fn = quaternion_linear if n == 4 else dual_quaternion_linear
         return fn(xd, wd, bd)
 

@@ -19,13 +19,21 @@ Scope: stride 1, 3x3 kernel, zero padding 1, pooling (pf, 1) over the
 frequency axis (the reference's pool_time='TCN' configuration). Inference
 path (BN running stats folded into scale/bias); training uses the XLA path.
 
-STATUS (measured on v5e, flagship b16 bf16): the end-to-end fused path is
-currently ~1.5x SLOWER than XLA's native conv pipeline (249 ms vs 163 ms
-model-only) — the per-tap dots underutilize the MXU at cin=8 (K=8 of 128
-lanes) and the window packing costs a full input copy. Kept as correct,
-parity-tested infrastructure; the known fix is K-packed im2col in the packer
-(concat taps to K=72/1728) once Mosaic supports the needed concat layouts.
-The serving path (models/fused_infer.py) therefore defaults to XLA convs.
+Two kernels, chosen by channel width:
+
+- ``conv2d_im2col_bn_relu_fpool`` — K-packed im2col: an XLA packer expands
+  the input to (B, F, T, 9*Cin) patches (cheap when Cin is small: the
+  flagship's first stage has Cin=8 -> K=72, one MXU K-tile), and the kernel
+  runs ONE (pf*tt, K) @ (K, Cout) dot per grid cell with the BN/ReLU/pool
+  epilogue fused. This is the round-2 fix for the first stage, whose XLA
+  conv ran at ~12 TFLOP/s (K=8 starves the MXU) while writing a 4.7 GB
+  unpooled activation at b16.
+- ``conv2d_bn_relu_fpool`` — halo-windowed per-tap dots, for wide channels
+  (K=Cin per tap, e.g. 192) where im2col patches would be 9x the input
+  bytes but per-tap dots already feed the MXU well.
+
+The serving integration point is models/fused_infer.py, which picks
+per-stage: im2col when 9*Cin <= 256, windows otherwise.
 """
 
 from __future__ import annotations
@@ -71,6 +79,79 @@ def _pack_windows(x: jnp.ndarray, pf: int, tt: int) -> jnp.ndarray:
         [rows[..., j * tt : j * tt + tt + 8, :] for j in range(t // tt)], axis=3
     )
     return tiles  # (B, F//pf, pf+2, T//tt, tt+8, C)
+
+
+def _im2col_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, cout):
+    p = p_ref[0]  # (pf, tt, K)
+    k = p.shape[-1]
+    y = jnp.dot(
+        p.reshape(pf * tt, k), w_ref[...], preferred_element_type=jnp.float32
+    )
+    y = jnp.maximum(y.reshape(pf, tt, cout) * s_ref[...] + b_ref[...], 0.0)
+    o_ref[0, 0] = jnp.max(y, axis=0).astype(o_ref.dtype)
+
+
+def conv2d_im2col_bn_relu_fpool(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    pool_f: int,
+    block_t: int = 600,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, F, T, Cin), w (3, 3, Cin, Cout) -> (B, F//pf, T, Cout).
+
+    Same contract as :func:`conv2d_bn_relu_fpool`, via K-packed im2col:
+    patches[b, f, t, (dy*3+dx)*cin + c] = xpad[b, f+dy, t+dx, c], so each
+    grid cell is a single MXU dot. Patches are 9x the input bytes — use for
+    small Cin only (fused_infer gates on 9*Cin <= 256).
+    """
+    b, f, t, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    assert f % pool_f == 0, (f, pool_f)
+    tt = min(block_t, t)
+    while t % tt:
+        tt //= 2
+    assert t % tt == 0 and tt % 8 == 0, (t, tt)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [
+            xp[:, dy : dy + f, dx : dx + t, :]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    )  # (B, F, T, 9*cin) — matches w.reshape(9*cin, cout) tap order
+    k = 9 * cin
+    pf = pool_f
+    grid = (b, f // pf, t // tt)
+    return pl.pallas_call(
+        functools.partial(_im2col_kernel, pf=pf, tt=tt, cout=cout),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, pf, tt, k),
+                lambda b, fo, ti: (b, fo, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, cout), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tt, cout), lambda b, fo, ti: (b, fo, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f // pf, t, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * t * k * cout,
+            bytes_accessed=(b * f * t * k + b * (f // pf) * t * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(patches, w.reshape(k, cout), scale.reshape(1, cout), bias.reshape(1, cout))
 
 
 def conv2d_bn_relu_fpool(

@@ -214,3 +214,72 @@ def test_flash_attention_grads_match_full(rng, t, d):
             np.asarray(bb), np.asarray(a), atol=5e-4, rtol=1e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+@pytest.mark.parametrize("pf,cin,cout", [(2, 8, 16), (4, 4, 8)])
+def test_conv2d_im2col_fpool_matches_xla(rng, pf, cin, cout):
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_im2col_bn_relu_fpool
+    from seld_tpu.ops.quaternion import conv_nd
+    from seld_tpu.models.layers import max_pool_2d
+
+    b, f, t = 2, 8, 32
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    ref = conv_nd(x, w, None, padding=1)
+    ref = jnp.maximum(ref * scale + bias, 0.0)
+    ref = max_pool_2d(ref, (pf, 1))
+    got = conv2d_im2col_bn_relu_fpool(x, w, scale, bias, pool_f=pf, block_t=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def test_int8_matmul_close_to_f32(rng):
+    """int8 PTQ Hamilton matmul: quantized output within PTQ tolerance of
+    f32, exact when inputs/weights are exactly representable."""
+    from seld_tpu.ops.hamilton import assemble_dq_linear_kernel
+    from seld_tpu.ops.pallas.quant import int8_matmul, quantize_hamilton
+
+    comps = jnp.asarray(rng.standard_normal((8, 6, 4)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((40, 48)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    w_q, w_s = quantize_hamilton(comps, assemble_dq_linear_kernel)
+    ref = dual_quaternion_linear(x, comps, b)
+    got = int8_matmul(x, w_q, w_s, b, interpret=True)
+    # dynamic int8 on both sides: ~1% relative of the magnitude scale
+    err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+    assert err < 0.05 * float(np.max(np.abs(np.asarray(ref)))), err
+
+
+def test_quantize_weight_roundtrip_bound(rng):
+    """Per-channel symmetric int8: dequant error bounded by scale/2 per entry."""
+    from seld_tpu.ops.pallas.quant import quantize_weight_per_channel
+
+    w = jnp.asarray(rng.standard_normal((32, 24)).astype(np.float32)) * 3
+    w_q, w_s = quantize_weight_per_channel(w)
+    assert w_q.dtype == jnp.int8
+    err = np.abs(np.asarray(w_q, np.float32) * np.asarray(w_s) - np.asarray(w))
+    np.testing.assert_array_less(err, np.broadcast_to(np.asarray(w_s) / 2 + 1e-7, err.shape))
+
+
+def test_int8_model_close_to_f32(rng):
+    """Tiny DQ model with qconv_impl='int8' (PTQ pointwise/linear) tracks f32."""
+    from seld_tpu.models import SELDModel
+
+    kw = dict(
+        time_dim=16, freq_dim=16, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    m_f32 = SELDModel(qconv_impl="xla", **kw)
+    m_int8 = SELDModel(qconv_impl="int8", **kw)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16)).astype(np.float32))
+    variables = m_f32.init(jax.random.PRNGKey(0), x, train=False)
+    ref = m_f32.apply(variables, x, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = m_int8.apply(variables, x, train=False)
+    # PTQ tolerance: sed is sigmoid-bounded, doa tanh-bounded
+    assert float(jnp.max(jnp.abs(got[0] - ref[0]))) < 0.08
+    assert float(jnp.max(jnp.abs(got[1] - ref[1]))) < 0.15
