@@ -70,11 +70,12 @@ def measure_reference():
     return (60.0 / 3600.0) / total
 
 
-def measure_tpu(batch: int, iters: int, dtype: str):
+def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
     import jax
     import jax.numpy as jnp
 
     from seld_tpu.data.features import spectrum_fast
+    from seld_tpu.models.fused_infer import fused_infer
     from __graft_entry__ import _flagship_model
 
     import dataclasses
@@ -91,6 +92,11 @@ def measure_tpu(batch: int, iters: int, dtype: str):
         jax.random.PRNGKey(0), x0
     )
     precision = "highest" if dtype == "float32" else "default"
+    # serving (bf16) runs the hybrid fused path (Pallas smallcin frontend +
+    # XLA wide stages, models/fused_infer.py); parity mode (f32) keeps the
+    # scipy-parity STFT + model.apply at precision 'highest'. Both measured
+    # in BENCH.md. (bf16 DFT operands were an A/B wash — the input casts cost
+    # what the matmul saves — so the STFT stays f32 in both modes.)
 
     @jax.jit
     def pipeline(variables, audio):
@@ -98,18 +104,24 @@ def measure_tpu(batch: int, iters: int, dtype: str):
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
             )(audio)
+            if impl == "fused":
+                return fused_infer(model, variables, feats)
             return model.apply(variables, feats, train=False)
 
+    peek = jax.jit(lambda o: o[0].ravel()[:64])
     out = pipeline(variables, audio)  # compile + warmup
-    np.asarray(out[0])
-    # time with a host read of the (small) outputs every iteration: through
-    # the axon tunnel, block_until_ready alone can return before remote
-    # execution completes, so only D2H-synced timings are trustworthy
+    np.asarray(peek(out))
+    # time with a host read every iteration: through the axon tunnel,
+    # block_until_ready alone can return before remote execution completes,
+    # so only D2H-synced timings are trustworthy. The read is a TINY slice
+    # dispatched over the materialized output — the tunnel moves ~20 MB/s,
+    # so reading the full sed tensor (1.6 MB at b16) would add ~80 ms of
+    # pure transfer that production serving never pays.
     times = []
     for _ in range(iters):
         t0 = time.time()
         out = pipeline(variables, audio)
-        np.asarray(out[0])
+        np.asarray(peek(out))
         times.append(time.time() - t0)
     dt = float(np.median(times))
     audio_hours = batch * secs / 3600.0
@@ -124,17 +136,24 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument(
+        "--impl", type=str, default=None, choices=["fused", "apply"],
+        help="serving path: fused (Pallas+XLA hybrid, default for bf16) or "
+        "plain model.apply (default for f32 parity mode)",
+    )
     ap.add_argument("--measure-ref", action="store_true")
     args = ap.parse_args()
+    if args.impl is None:
+        args.impl = "fused" if args.dtype == "bfloat16" else "apply"
 
     ref = REF_AUDIO_HOURS_PER_SEC
     if args.measure_ref:
         ref = measure_reference()
         print(f"reference audio_hours/sec (torch CPU): {ref:.6f}", file=sys.stderr)
 
-    value, dt = measure_tpu(args.batch, args.iters, args.dtype)
+    value, dt = measure_tpu(args.batch, args.iters, args.dtype, args.impl)
     print(
-        f"batch={args.batch} dtype={args.dtype}: {dt*1000:.1f} ms per batch "
+        f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "
         f"({value:.3f} audio-hours/sec)",
         file=sys.stderr,
     )

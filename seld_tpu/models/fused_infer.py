@@ -2,10 +2,17 @@
 
 Executes a single-trunk :class:`SELDModel` from its regular variables
 (checkpoint-compatible — same trees as ``model.apply``), but runs the CNN
-front-end through the fused conv2d+BN+ReLU+freqpool Pallas kernel
-(seld_tpu.ops.pallas.conv2d_pool), which never materializes the
-full-resolution conv activations. Eval-mode semantics only (BN running
-stats folded into the conv affine; dropout identity).
+front-end through a per-stage choice measured on v5e (BENCH.md):
+
+- small-Cin stages (3*Cin <= 32, i.e. the first stage of every reference
+  config) use the fused conv2d+BN+ReLU+freqpool Pallas kernel
+  ``conv2d_smallcin_bn_relu_fpool``, which never materializes the 7.5 GB
+  full-resolution conv activation and feeds the MXU K=96 instead of K=8;
+- wide stages use the plain XLA conv with the BN affine folded in — XLA's
+  own conv runs them at ~125 TFLOP/s, faster than any of our kernels.
+
+Eval-mode semantics only (BN running stats folded into the conv affine;
+dropout identity).
 
 Parity vs ``model.apply(..., train=False)`` is pinned in
 tests/test_pallas.py::test_fused_infer_matches_model.
@@ -18,11 +25,9 @@ import jax.numpy as jnp
 from seld_tpu.models.blocks import TCBlock
 from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
 from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
-from seld_tpu.ops.pallas.conv2d_pool import (
-    conv2d_bn_relu_fpool,
-    conv2d_im2col_bn_relu_fpool,
-)
-from seld_tpu.ops.quaternion import quaternion_linear
+from seld_tpu.models.layers import max_pool_2d
+from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+from seld_tpu.ops.quaternion import conv_nd, quaternion_linear
 
 _BN_EPS = 1e-5
 
@@ -60,11 +65,6 @@ def fused_infer(model, variables, x, interpret: bool = False):
     """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
 
     x: (B, C, F, T) reference layout, like ``model.apply``.
-
-    NOTE: measured slower than ``model.apply`` on v5e for the flagship (see
-    ops/pallas/conv2d_pool.py STATUS); bench/serving use model.apply until
-    the kernel's im2col packing lands. Retained as the integration point and
-    for its parity test.
     """
     assert model.parallel_ConvTC_block in {"False", "false", "None", "none"}, (
         "fused_infer supports the single-trunk configuration"
@@ -82,13 +82,14 @@ def fused_infer(model, variables, x, interpret: bool = False):
             conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
         )
         cin = h.shape[-1]
-        stage_fn = (
-            conv2d_im2col_bn_relu_fpool if 9 * cin <= 256 else conv2d_bn_relu_fpool
-        )
-        h = stage_fn(
-            h, kernel, scale.astype(dtype), bias.astype(dtype),
-            pool_f=int(pool[0]), interpret=interpret,
-        )
+        if 3 * cin <= 32:
+            h = conv2d_smallcin_bn_relu_fpool(
+                h, kernel, scale, bias, pool_f=int(pool[0]), interpret=interpret
+            )
+        else:
+            y = conv_nd(h, kernel, None, padding=1)
+            y = jnp.maximum(y * scale.astype(dtype) + bias.astype(dtype), 0.0)
+            h = max_pool_2d(y, (int(pool[0]), 1))
     b, f, t, c = h.shape
     h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
 

@@ -359,6 +359,46 @@ class BatchNorm(nn.BatchNorm):
     epsilon: float = 1e-5
 
 
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise conv (groups=Cin) -> pointwise 1x1 -> BN -> ReLU, channel-last.
+
+    TPU-native equivalent of the reference's DepthwiseSeparableConv1D/2D
+    (reference dual_quaternion/dual_quaternion_layers.py:19-47 — defined but
+    never wired into the SELD model there; provided here for API
+    completeness). ndim=1 takes (B, T, C); ndim=2 takes (B, H, W, C).
+    """
+
+    features: int
+    kernel_size: IntOrTuple
+    ndim: int = 1
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        k = _ntuple(self.kernel_size, self.ndim)
+        dtype = self.dtype or x.dtype
+        # depthwise: feature_group_count=Cin, kernel (*k, 1, Cin)
+        dw = self.param(
+            "dw", nn.initializers.he_uniform(in_axis=-2, out_axis=-1), (*k, 1, cin)
+        )
+        dwb = self.param("dw_b", nn.initializers.zeros, (cin,))
+        h = conv_nd(
+            x.astype(dtype), dw.astype(dtype), dwb.astype(dtype),
+            stride=self.stride, padding=self.padding, groups=cin,
+        )
+        pw = self.param(
+            "pw", nn.initializers.he_uniform(in_axis=-2, out_axis=-1),
+            (*(1,) * self.ndim, cin, self.features),
+        )
+        pwb = self.param("pw_b", nn.initializers.zeros, (self.features,))
+        h = conv_nd(h, pw.astype(dtype), pwb.astype(dtype))
+        h = BatchNorm(use_running_average=not train, dtype=dtype)(h)
+        return nn.relu(h)
+
+
 class SEBlock(nn.Module):
     """Squeeze-and-Excitation over channels of (B, ..., C).
 

@@ -19,21 +19,27 @@ Scope: stride 1, 3x3 kernel, zero padding 1, pooling (pf, 1) over the
 frequency axis (the reference's pool_time='TCN' configuration). Inference
 path (BN running stats folded into scale/bias); training uses the XLA path.
 
-Two kernels, chosen by channel width:
+Three kernels, chosen by channel width:
 
-- ``conv2d_im2col_bn_relu_fpool`` — K-packed im2col: an XLA packer expands
-  the input to (B, F, T, 9*Cin) patches (cheap when Cin is small: the
-  flagship's first stage has Cin=8 -> K=72, one MXU K-tile), and the kernel
-  runs ONE (pf*tt, K) @ (K, Cout) dot per grid cell with the BN/ReLU/pool
-  epilogue fused. This is the round-2 fix for the first stage, whose XLA
-  conv ran at ~12 TFLOP/s (K=8 starves the MXU) while writing a 4.7 GB
-  unpooled activation at b16.
+- ``conv2d_smallcin_bn_relu_fpool`` — the small-Cin winner (stage 1,
+  Cin=8): channel-on-sublane / time-on-lane packing. XLA pre-applies the 3
+  time shifts as 16/32-padded sublane groups per frequency-band row, so
+  each grid cell is ONE (Cout, 3*kg) @ (3*kg, tt) MXU dot per pool row
+  (K=96 for Cin=8 vs the XLA conv's K=8, which ran at ~14 TFLOP/s) with
+  the BN/ReLU/freq-pool epilogue fused — the 7.5 GB unpooled activation is
+  never materialized. Lanes stay the (long) time axis throughout, so
+  nothing pads 8 -> 128.
+- ``conv2d_im2col_bn_relu_fpool`` — K-packed channel-last im2col. CAVEAT:
+  Pallas pins default layouts, so the (B, F, T, 9*Cin) patches pad
+  72 -> 128 lanes and the slice temps pad 16x; at the flagship b16 this
+  OOMs the chip. Superseded by the smallcin kernel; kept for mid-sized
+  Cin where 9*Cin is lane-aligned-ish and shapes are small.
 - ``conv2d_bn_relu_fpool`` — halo-windowed per-tap dots, for wide channels
-  (K=Cin per tap, e.g. 192) where im2col patches would be 9x the input
+  (K=Cin per tap, e.g. 192) where packed copies would dwarf the input
   bytes but per-tap dots already feed the MXU well.
 
 The serving integration point is models/fused_infer.py, which picks
-per-stage: im2col when 9*Cin <= 256, windows otherwise.
+per-stage: smallcin when 3*Cin <= 32, windows otherwise.
 """
 
 from __future__ import annotations
@@ -152,6 +158,111 @@ def conv2d_im2col_bn_relu_fpool(
         ),
         interpret=interpret,
     )(patches, w.reshape(k, cout), scale.reshape(1, cout), bias.reshape(1, cout))
+
+
+def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
+    out = None
+    for r in range(pf):
+        # rows r..r+2 of the band are the dy taps; each is kg sublanes of
+        # (dx, c)-grouped, zero-padded channels. 3*kg contiguous rows
+        # reshape to the K axis with no relayout (kg is a sublane-tile
+        # multiple for both f32 and bf16).
+        stack = p_ref[0, 0, r : r + 3].reshape(3 * kg, -1)
+        acc = jax.lax.dot_general(
+            w_ref[...], stack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cout, tt)
+        y = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
+        out = y if out is None else jnp.maximum(out, y)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def conv2d_smallcin_bn_relu_fpool(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    pool_f: int,
+    block_t: int = 2560,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, F, T, Cin), w (3, 3, Cin, Cout) -> (B, F//pf, T, Cout).
+
+    Same contract as :func:`conv2d_bn_relu_fpool`, for small Cin (3*Cin <=
+    32; the flagship front-end has Cin=8, reference model.py:261-287).
+
+    Layout strategy: channels ride the SUBLANE axis and time rides the LANE
+    axis, so the tiny channel count never pads to 128 lanes. An XLA packer
+    builds (B, F//pf, pf+2, kg, T_pad) bands where the kg sublanes hold the
+    3 time-shifted copies of the Cin channels (zero-padded to kg = the
+    sublane-tile multiple), F-halo rows included. Each grid cell then runs
+    one K=3*kg dot per pool row and max-reduces — conv, BN affine, ReLU and
+    the frequency pool all fused, output written once.
+    """
+    b, f, t, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    assert 3 * cin <= 32, f"smallcin kernel needs 3*cin <= 32, got cin={cin}"
+    assert f % pool_f == 0, (f, pool_f)
+    kg = 16 if 3 * cin <= 16 else 32  # sublane-tile-aligned (dx, c) group
+    tpad = -(-(t + 1) // 128) * 128
+    units = tpad // 128
+    tt = 128 * max(u for u in range(1, units + 1) if units % u == 0 and 128 * u <= block_t)
+
+    # (B, F, T, C) -> (B, F+2, C, T): channel-on-sublane, F conv halo
+    xt = jnp.transpose(x, (0, 1, 3, 2))
+    xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # three time-shifted copies: shifted_dx[t'] = x[t' + dx - 1]
+    sh = [
+        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (1, tpad - t - 1))),
+        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, tpad - t))),
+        jnp.pad(xt[..., 1:], ((0, 0), (0, 0), (0, 0), (0, tpad - t + 1))),
+    ]
+    if kg > 3 * cin:
+        sh.append(jnp.zeros((b, f + 2, kg - 3 * cin, tpad), x.dtype))
+    p0 = jnp.concatenate(sh, axis=2)  # (B, F+2, kg, tpad)
+    bands = jnp.stack(
+        [p0[:, i * pool_f : i * pool_f + pool_f + 2] for i in range(f // pool_f)],
+        axis=1,
+    )  # (B, F//pf, pf+2, kg, tpad)
+
+    # weight rows match the (dy, (dx, c) zero-padded) stack order
+    wt = jnp.pad(w.reshape(3, 3 * cin, cout), ((0, 0), (0, kg - 3 * cin), (0, 0)))
+    wk = wt.reshape(3 * kg, cout).T  # (cout, 3*kg)
+
+    pf = pool_f
+    grid = (b, f // pf, tpad // tt)
+    out = pl.pallas_call(
+        functools.partial(_smallcin_kernel, pf=pf, kg=kg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, pf + 2, kg, tt),
+                lambda b, fo, ti: (b, fo, 0, 0, ti),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * tpad * 3 * kg * cout,
+            bytes_accessed=(b * f * tpad * kg + b * (f // pf) * tpad * cout)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        bands,
+        wk,
+        scale.astype(jnp.float32).reshape(cout, 1),
+        bias.astype(jnp.float32).reshape(cout, 1),
+    )
+    return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
 def conv2d_bn_relu_fpool(

@@ -123,7 +123,10 @@ def _hamilton_matmul(
         ],
         out_specs=pl.BlockSpec((tm, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pad_m, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((cin, cout), jnp.float32)],
+        # scratch matches the input dtype so bf16 stays a bf16 MXU matmul
+        # (an f32 scratch also fails to lower: Mosaic rejects mixed-dtype
+        # stores into the scratch ref)
+        scratch_shapes=[pltpu.VMEM((cin, cout), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * pad_m * cin * cout,
             bytes_accessed=(pad_m * cin + n_comp * cin_c * cout_c + pad_m * cout) * 4,

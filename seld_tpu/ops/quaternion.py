@@ -63,6 +63,11 @@ def conv_nd(
     dils = _norm_tuple(dilation, n)
     if precision is None and x.dtype == jnp.float32:
         precision = lax.Precision.HIGHEST
+    # NOTE (anti-result, tools/ab_bench.py on v5e): rewriting 1-D stride-1
+    # convs as k shifted matmuls is ~10% SLOWER end-to-end than
+    # conv_general_dilated at the flagship TCN shapes — the dilation-offset
+    # time slices are sublane-misaligned and force relayout copies that cost
+    # more than the conv's MXU inefficiency. Keep the plain XLA conv.
     out = lax.conv_general_dilated(
         x,
         kernel,

@@ -290,3 +290,63 @@ def test_fc_relu_head_parity(rng):
     )
     np.testing.assert_allclose(np.asarray(sed), sed_ref.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(doa), doa_ref.numpy(), atol=5e-4)
+
+
+@pytest.mark.parametrize("ndim", [1, 2])
+def test_depthwise_separable_conv_parity(rng, ndim):
+    """DepthwiseSeparableConv vs a torch depthwise+pointwise+BN+ReLU oracle
+    (reference dual_quaternion_layers.py:19-47), eval-mode BN."""
+    from seld_tpu.models.layers import DepthwiseSeparableConv
+
+    cin, cout, k = 6, 10, 3
+    if ndim == 1:
+        tm = torch.nn.Sequential(
+            torch.nn.Conv1d(cin, cin, k, 1, 1, groups=cin),
+            torch.nn.Conv1d(cin, cout, 1),
+            torch.nn.BatchNorm1d(cout),
+            torch.nn.ReLU(),
+        )
+        x = rng.standard_normal((2, cin, 16)).astype(np.float32)
+        x_cl = np.transpose(x, (0, 2, 1))  # (B, T, C)
+        perm_w = (2, 1, 0)  # torch (cout, cin/groups, k) -> (k, cin/g, cout)
+    else:
+        tm = torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cin, k, 1, 1, groups=cin),
+            torch.nn.Conv2d(cin, cout, 1),
+            torch.nn.BatchNorm2d(cout),
+            torch.nn.ReLU(),
+        )
+        x = rng.standard_normal((2, cin, 12, 16)).astype(np.float32)
+        x_cl = np.transpose(x, (0, 2, 3, 1))  # (B, H, W, C)
+        perm_w = (2, 3, 1, 0)
+    tm.train()
+    with torch.no_grad():
+        tm(torch.tensor(x))
+    tm.eval()
+    with torch.no_grad():
+        want = tm(torch.tensor(x)).numpy()
+
+    m = DepthwiseSeparableConv(features=cout, kernel_size=k, ndim=ndim, padding=1)
+    params = {
+        "dw": np.transpose(tm[0].weight.detach().numpy(), perm_w),
+        "dw_b": tm[0].bias.detach().numpy(),
+        "pw": np.transpose(tm[1].weight.detach().numpy(), perm_w),
+        "pw_b": tm[1].bias.detach().numpy(),
+        "BatchNorm_0": {
+            "scale": tm[2].weight.detach().numpy(),
+            "bias": tm[2].bias.detach().numpy(),
+        },
+    }
+    stats = {
+        "BatchNorm_0": {
+            "mean": tm[2].running_mean.numpy(),
+            "var": tm[2].running_var.numpy(),
+        }
+    }
+    got = m.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_cl), train=False
+    )
+    axes = (0, 2, 1) if ndim == 1 else (0, 3, 1, 2)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), axes), want, atol=1e-5
+    )

@@ -169,14 +169,18 @@ def test_conv2d_bn_relu_fpool_matches_xla(rng, pf, cin, cout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
 
 
-def test_fused_infer_matches_model(rng):
-    """fused_infer (Pallas frontend + direct heads) must match model.apply."""
+@pytest.mark.parametrize("filters", [(8, 8, 8), (16, 16, 16)])
+def test_fused_infer_matches_model(rng, filters):
+    """fused_infer (Pallas frontend + direct heads) must match model.apply.
+
+    filters=8 keeps every stage on the smallcin Pallas kernel; filters=16
+    routes stages 2-3 through the wide-stage XLA branch."""
     from seld_tpu.models import SELDModel
     from seld_tpu.models.fused_infer import fused_infer
 
     model = SELDModel(
         time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
-        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        domain="DQ", cnn_filters=filters, pool_size=((2, 2), (2, 2), (2, 2)),
         pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
         use_bias_conv=False, batch_norm="BN", attention_impl="full",
     )
@@ -283,3 +287,24 @@ def test_int8_model_close_to_f32(rng):
     # PTQ tolerance: sed is sigmoid-bounded, doa tanh-bounded
     assert float(jnp.max(jnp.abs(got[0] - ref[0]))) < 0.08
     assert float(jnp.max(jnp.abs(got[1] - ref[1]))) < 0.15
+
+
+@pytest.mark.parametrize("pf,cin,cout,t", [(2, 8, 16, 32), (4, 4, 8, 32), (8, 8, 24, 100)])
+def test_conv2d_smallcin_fpool_matches_xla(rng, pf, cin, cout, t):
+    """Channel-on-sublane small-Cin fused kernel vs the XLA conv oracle,
+    including a non-128-aligned time length (T padding path)."""
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+    from seld_tpu.ops.quaternion import conv_nd
+    from seld_tpu.models.layers import max_pool_2d
+
+    b, f = 2, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    ref = conv_nd(x, w, None, padding=1)
+    ref = jnp.maximum(ref * scale + bias, 0.0)
+    ref = max_pool_2d(ref, (pf, 1))
+    got = conv2d_smallcin_bn_relu_fpool(x, w, scale, bias, pool_f=pf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)

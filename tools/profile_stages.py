@@ -24,7 +24,7 @@ from seld_tpu.ops.dual_quaternion import dual_quaternion_conv
 from seld_tpu.models.layers import max_pool_2d, max_pool_time
 
 
-def bench(name, fn, *args, iters=5):
+def bench(name, fn, *args, iters=5, keep=False):
     # D2H-sync each iteration with a TINY read (the tunnel moves ~10 MB/s —
     # reading a full activation would swamp the timing). The read is a
     # separate dispatch over the already-materialized program output, so the
@@ -32,8 +32,13 @@ def bench(name, fn, *args, iters=5):
     # round-trip, visible in the noop row (which pays the same two dispatches).
     fn_j = jax.jit(fn)
     peek = jax.jit(lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[:8])
-    out = fn_j(*args)
-    np.asarray(peek(out))  # warmup
+    try:
+        out = fn_j(*args)
+        np.asarray(peek(out))  # warmup
+    except Exception as e:  # keep profiling the remaining rows (e.g. OOM)
+        msg = str(e).splitlines()[0][:120]
+        print(f"{name:38s}   FAILED: {msg}", flush=True)
+        return None
     times = []
     for _ in range(iters):
         t0 = time.time()
@@ -41,7 +46,12 @@ def bench(name, fn, *args, iters=5):
         np.asarray(peek(out))
         times.append(time.time() - t0)
     print(f"{name:38s} {np.median(times)*1000:8.1f} ms", flush=True)
-    return out
+    # free device buffers unless the caller reuses them — holding every row's
+    # output OOMs the chip (the unpooled conv outputs are 7.5 GB each)
+    if keep:
+        return out
+    del out
+    return None
 
 
 def main():
@@ -65,6 +75,8 @@ def main():
         _fused_section(B, rng)
     if "qmm" in sections:
         _qmm_section(B, rng)
+    if "v3" in sections:
+        _v3_section(B, rng)
 
 
 def _stft_section(B, rng):
@@ -80,7 +92,7 @@ def _stft_section(B, rng):
         im = -jnp.dot(fr, s, preferred_element_type=jnp.float32)
         return re, im
 
-    re, im = bench("stft: DFT matmuls only", dft_only, frames, cos_j, sin_j)
+    re, im = bench("stft: DFT matmuls only", dft_only, frames, cos_j, sin_j, keep=True)
 
     def mag_t(re, im):
         re = jnp.swapaxes(re, -1, -2)
@@ -143,14 +155,14 @@ def _cnn_section(B, rng):
 
     # conv-only versions (no relu/pool) to isolate
     bench(
-        "cnn1 conv only",
+        "cnn1 conv only (b4)",
         lambda x, w: dual_quaternion_conv(x, w, None, stride=1, padding=1),
-        x1, w1,
+        x1[:4], w1,
     )
     bench(
-        "cnn2 conv only",
+        "cnn2 conv only (b4)",
         lambda x, w: dual_quaternion_conv(x, w, None, stride=1, padding=1),
-        x2, w2,
+        x2[:4], w2,
     )
 
 
@@ -180,10 +192,6 @@ def _tcn_section(B, rng):
     )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _fused_section(B, rng):
     """Round-2 candidates vs their XLA baselines at flagship shapes."""
     from seld_tpu.ops.hamilton import assemble_dq_conv_kernel
@@ -204,6 +212,12 @@ def _fused_section(B, rng):
     s1 = jnp.asarray(rng.standard_normal(192).astype(np.float32)).astype(jnp.bfloat16)
     b1 = jnp.asarray(rng.standard_normal(192).astype(np.float32)).astype(jnp.bfloat16)
     bench("fused1: im2col kernel (K=72)", stage(conv2d_im2col_bn_relu_fpool, 8), x1, w1, s1, b1)
+    # at b16 the materialized patches OOM (Pallas default layout pads 72->128
+    # lanes; the slice temps pad 8->128 = 16x) — measure the per-clip rate at b4
+    x1s = x1[:4]
+    bench("fused1: im2col kernel (K=72) b4", stage(conv2d_im2col_bn_relu_fpool, 8), x1s, w1, s1, b1)
+    bench("fused1: windows kernel b4", stage(conv2d_bn_relu_fpool, 8), x1s, w1, s1, b1)
+    bench("fused1: windows kernel (K=8/tap)", stage(conv2d_bn_relu_fpool, 8), x1, w1, s1, b1)
 
     # stage 2: cin=192 windows kernel
     x2 = jnp.asarray(rng.standard_normal((B, 32, 4800, 192)).astype(np.float32)).astype(jnp.bfloat16)
@@ -250,3 +264,38 @@ def _qmm_section(B, rng):
     w8 = jnp.asarray(rng.standard_normal((8, 48, 48)).astype(np.float32))
     wq, ws = jax.jit(lambda w: quantize_weight_per_channel(assemble_dq_conv_kernel(w)))(w8)
     bench("qmm int8: PTQ DQ 384x384", lambda x, q, s: int8_matmul(x, q, s, None), xt, wq, ws)
+
+
+def _v3_section(B, rng):
+    """Round-2b: smallcin stage-1 kernel + hybrid fused_infer vs model.apply."""
+    import dataclasses
+
+    from seld_tpu.ops.hamilton import assemble_dq_conv_kernel
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+
+    x1 = jnp.asarray(rng.standard_normal((B, 256, 4800, 8)).astype(np.float32)).astype(jnp.bfloat16)
+    w1c = jnp.asarray(rng.standard_normal((8, 3, 3, 1, 24)).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jax.jit(assemble_dq_conv_kernel)(w1c)
+    s1 = jnp.asarray(rng.standard_normal(192).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(192).astype(np.float32))
+    bench(
+        "v3 stage1: smallcin kernel (K=96)",
+        lambda x, w, s, b: conv2d_smallcin_bn_relu_fpool(x, w, s, b, pool_f=8),
+        x1, w1, s1, b1,
+    )
+    del x1, w1
+
+    from __graft_entry__ import _flagship_model
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = dataclasses.replace(_flagship_model(4800), compute_dtype="bfloat16")
+    x = jnp.asarray(rng.standard_normal((B, 8, 256, 4800)).astype(np.float32))
+    variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
+        jax.random.PRNGKey(0), x[:1]
+    )
+    bench("v3 model.apply (bf16)", lambda v, xx: model.apply(v, xx, train=False), variables, x)
+    bench("v3 fused_infer (bf16)", lambda v, xx: fused_infer(model, v, xx), variables, x)
+
+
+if __name__ == "__main__":
+    main()
