@@ -101,11 +101,19 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
     @jax.jit
     def pipeline(variables, audio):
         with jax.default_matmul_precision(precision):
+            if impl == "fused":
+                # conv-STFT in its native (C, T, F) order feeds the fused
+                # frontend's channel-on-sublane packer with one transpose
+                feats = jax.vmap(
+                    lambda a: spectrum_fast(
+                        a, nperseg=512, noverlap=112, output_phase=False,
+                        method="conv", return_layout="CTF",
+                    )
+                )(audio)
+                return fused_infer(model, variables, feats, input_layout="BCTF")
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
             )(audio)
-            if impl == "fused":
-                return fused_infer(model, variables, feats)
             return model.apply(variables, feats, train=False)
 
     peek = jax.jit(lambda o: o[0].ravel()[:64])

@@ -23,11 +23,17 @@ import jax.numpy as jnp
 
 
 def _attend_full(q, k, v, scale, mask):
-    energy = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
+    energy = jnp.einsum(
+        "nqhd,nkhd->nhqk", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+    )
     if mask is not None:
         energy = jnp.where(mask == 0, jnp.float32(-1e9), energy)
     attn = jax.nn.softmax(energy * scale, axis=3).astype(v.dtype)
-    return jnp.einsum("nhql,nlhd->nqhd", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    return jnp.einsum(
+        "nhql,nlhd->nqhd", attn, v,
+        preferred_element_type=jnp.promote_types(v.dtype, jnp.float32),
+    ).astype(v.dtype)
 
 
 def _attend_chunked(q, k, v, scale, chunk: int):
@@ -40,10 +46,14 @@ def _attend_chunked(q, k, v, scale, chunk: int):
     qc = q.reshape(n, n_chunks, chunk, h, d).transpose(1, 0, 2, 3, 4)
 
     def body(carry, q_i):
-        energy = jnp.einsum("nqhd,nkhd->nhqk", q_i, k, preferred_element_type=jnp.float32)
+        energy = jnp.einsum(
+            "nqhd,nkhd->nhqk", q_i, k,
+            preferred_element_type=jnp.promote_types(k.dtype, jnp.float32),
+        )
         attn = jax.nn.softmax(energy * scale, axis=3).astype(v.dtype)
         out_i = jnp.einsum(
-            "nhql,nlhd->nqhd", attn, v, preferred_element_type=jnp.float32
+            "nhql,nlhd->nqhd", attn, v,
+            preferred_element_type=jnp.promote_types(v.dtype, jnp.float32),
         ).astype(v.dtype)
         return carry, out_i
 

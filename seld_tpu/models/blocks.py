@@ -86,8 +86,10 @@ class ResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         L = x.shape[-1]
         padding = ((self.kernel_size - 1) * self.dilation) // 2
-        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        h = x.astype(cdt)
+        # cdt None = follow the input dtype (f32 normally; f64 in the
+        # PARITY_F64 flagship-parity pin, tools/parity_flagship.py)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else None
+        h = x if cdt is None else x.astype(cdt)
         if self.batch_norm in _BN_ON_TCN:
             h = BatchNorm(dtype=cdt, name="bn_pre")(h, use_running_average=not train)
             h = jnp.tanh(h)
@@ -223,7 +225,7 @@ class ConvTCBlock(nn.Module):
         """One front-end stage. With ``freq_halo`` the input carries a 1-row
         frequency halo on each side (banded execution): the conv runs VALID
         over frequency, which is exactly the padded conv's interior."""
-        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else None
         x = make_conv(
             self.domain, c, self.kernel_size_cnn_blocks, 2,
             padding=(0, 1) if freq_halo else 1,
@@ -267,8 +269,8 @@ class ConvTCBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, F, T, C)
-        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        x = x.astype(cdt)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else None
+        x = x if cdt is None else x.astype(cdt)
         # remat each CNN stage: the un-pooled conv activations (e.g. layer 1's
         # (B, 256, 4800, C) — 3.5 GB f32 at batch 4) dominate training memory
         stage = (

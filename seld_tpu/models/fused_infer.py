@@ -61,11 +61,15 @@ def _linear(domain: str, params, x):
     return dual_quaternion_linear(x, w, b)
 
 
-def fused_infer(model, variables, x, interpret: bool = False):
+def fused_infer(model, variables, x, interpret: bool = False, input_layout: str = "BCFT"):
     """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
 
-    x: (B, C, F, T) reference layout, like ``model.apply``.
+    x: (B, C, F, T) reference layout (like ``model.apply``), or — with
+    ``input_layout='BCTF'`` — the conv-STFT's native (B, C, T, F) order,
+    which hands the first smallcin stage its channel-on-sublane layout with
+    ONE transpose instead of three (spectrum swap + entry + packer).
     """
+    assert input_layout in {"BCFT", "BCTF"}, input_layout
     assert model.parallel_ConvTC_block in {"False", "false", "None", "none"}, (
         "fused_infer supports the single-trunk configuration"
     )
@@ -74,17 +78,28 @@ def fused_infer(model, variables, x, interpret: bool = False):
     stats = variables.get("batch_stats", {}).get("seld_block", {})
     dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
 
-    h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
+    cin0 = x.shape[1]
+    if input_layout == "BCTF" and 3 * cin0 <= 32:
+        h = jnp.transpose(x, (0, 3, 1, 2)).astype(dtype)  # (B, F, C, T)
+        first_pre_transposed = True
+    elif input_layout == "BCTF":
+        h = jnp.transpose(x, (0, 3, 2, 1)).astype(dtype)  # (B, F, T, C)
+        first_pre_transposed = False
+    else:
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
+        first_pre_transposed = False
     for i, pool in enumerate(model.pool_size):
         conv_p = params[f"cnn_{i}"]
         kernel = _frontend_kernel(conv_p).astype(dtype)
         scale, bias = _folded_affine(
             conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
         )
-        cin = h.shape[-1]
+        pre_t = first_pre_transposed and i == 0
+        cin = h.shape[-2] if pre_t else h.shape[-1]
         if 3 * cin <= 32:
             h = conv2d_smallcin_bn_relu_fpool(
-                h, kernel, scale, bias, pool_f=int(pool[0]), interpret=interpret
+                h, kernel, scale, bias, pool_f=int(pool[0]),
+                interpret=interpret, pre_transposed=pre_t,
             )
         else:
             y = conv_nd(h, kernel, None, padding=1)

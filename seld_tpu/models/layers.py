@@ -307,34 +307,31 @@ def make_linear(
 def max_pool_time(x: jnp.ndarray, pool: int) -> jnp.ndarray:
     """MaxPool1d over the time axis of (B, T, C); floor division like torch.
 
-    Non-overlapping pools are a reshape + max: identical forward values, but
-    the backward is an elementwise compare/where instead of reduce_window's
-    select-and-scatter — the round-1 training-memory peak (BENCH.md). Ties
-    split the gradient (torch routes it to the first max; ties are
-    measure-zero for real activations).
+    NOTE: a reshape+max formulation (select-and-scatter-free backward) was
+    tried for the training-memory peak, but its flagship train-step program
+    CRASHES the TPU compiler (remote compile helper exits 1 at b8 while the
+    reduce_window form compiles in 83 s — tools/train_bench.py isolation,
+    2026-08-17). Keep reduce_window until the pool backward moves to a
+    Pallas kernel.
     """
     if pool == 1:
         return x
-    b, t, c = x.shape
-    t_out = t // pool
-    if t_out * pool != t:
+    t_out = x.shape[1] // pool
+    if t_out * pool != x.shape[1]:
         x = x[:, : t_out * pool]
-    return jnp.max(x.reshape(b, t_out, pool, c), axis=2)
+    return nn.max_pool(x, window_shape=(pool,), strides=(pool,), padding="VALID")
 
 
 def max_pool_2d(x: jnp.ndarray, pool: Tuple[int, int]) -> jnp.ndarray:
-    """MaxPool2d over (B, F, T, C); floor division like torch.
-
-    Reshape + max like :func:`max_pool_time` (select-and-scatter-free
-    backward)."""
+    """MaxPool2d over (B, F, T, C); floor division like torch (see
+    :func:`max_pool_time` NOTE on the backward formulation)."""
     if pool[0] == 1 and pool[1] == 1:
         return x
-    b, f, t, c = x.shape
     pf, pt = int(pool[0]), int(pool[1])
-    f_out, t_out = f // pf, t // pt
-    if f_out * pf != f or t_out * pt != t:
+    f_out, t_out = x.shape[1] // pf, x.shape[2] // pt
+    if f_out * pf != x.shape[1] or t_out * pt != x.shape[2]:
         x = x[:, : f_out * pf, : t_out * pt]
-    return jnp.max(x.reshape(b, f_out, pf, t_out, pt, c), axis=(2, 4))
+    return nn.max_pool(x, window_shape=(pf, pt), strides=(pf, pt), padding="VALID")
 
 
 class SpatialDropout1D(nn.Module):

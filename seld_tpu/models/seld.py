@@ -160,6 +160,12 @@ class SELDModel(nn.Module):
                 y = nn.Dropout(self.dropout_perc)(y, deterministic=not train)
             return nn.Dense(out_size, use_bias=self.use_bias_linear, name=f"{prefix}_out")(y)
 
-        sed = nn.sigmoid(head(h, sed_out, "sed").astype(jnp.float32))
-        doa = jnp.tanh(head(h, doa_out, "doa").astype(jnp.float32))
+        # promote (not cast) to >=f32: bf16 logits upcast for the activations,
+        # f64 stays f64 (the PARITY_F64 pin — a hard f32 cast rounds the
+        # large random-weight logits by ~2e-5, tools/parity_flagship.py)
+        def _pf32(y):
+            return y.astype(jnp.promote_types(y.dtype, jnp.float32))
+
+        sed = nn.sigmoid(_pf32(head(h, sed_out, "sed")))
+        doa = jnp.tanh(_pf32(head(h, doa_out, "doa")))
         return sed, doa

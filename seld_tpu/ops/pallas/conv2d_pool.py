@@ -185,8 +185,13 @@ def conv2d_smallcin_bn_relu_fpool(
     pool_f: int,
     block_t: int = 2560,
     interpret: bool = False,
+    pre_transposed: bool = False,
 ) -> jnp.ndarray:
     """x (B, F, T, Cin), w (3, 3, Cin, Cout) -> (B, F//pf, T, Cout).
+
+    ``pre_transposed=True`` takes x already in the packer's internal
+    (B, F, Cin, T) channel-on-sublane layout (the conv-STFT serving path
+    hands this over directly, skipping a full-tensor transpose).
 
     Same contract as :func:`conv2d_bn_relu_fpool`, for small Cin (3*Cin <=
     32; the flagship front-end has Cin=8, reference model.py:261-287).
@@ -199,7 +204,10 @@ def conv2d_smallcin_bn_relu_fpool(
     one K=3*kg dot per pool row and max-reduces — conv, BN affine, ReLU and
     the frequency pool all fused, output written once.
     """
-    b, f, t, cin = x.shape
+    if pre_transposed:
+        b, f, cin, t = x.shape
+    else:
+        b, f, t, cin = x.shape
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert 3 * cin <= 32, f"smallcin kernel needs 3*cin <= 32, got cin={cin}"
@@ -210,7 +218,7 @@ def conv2d_smallcin_bn_relu_fpool(
     tt = 128 * max(u for u in range(1, units + 1) if units % u == 0 and 128 * u <= block_t)
 
     # (B, F, T, C) -> (B, F+2, C, T): channel-on-sublane, F conv halo
-    xt = jnp.transpose(x, (0, 1, 3, 2))
+    xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
     xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
     # three time-shifted copies: shifted_dx[t'] = x[t' + dx - 1]
     sh = [

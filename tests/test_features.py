@@ -65,3 +65,32 @@ def test_matmul_dft_matches_fft(rng):
     np.testing.assert_allclose(m[:n_mag], f[:n_mag], atol=2e-5)
     mask = f[:n_mag] > 1e-5
     assert np.percentile(np.abs(m[n_mag:] - f[n_mag:])[mask], 99) < 1e-2
+
+
+def test_conv_stft_matches_fft(rng):
+    """method='conv' (one strided XLA conv, the TPU serving path) vs rFFT,
+    plus the CTF return layout."""
+    x = rng.standard_normal((4, 16000)).astype(np.float32)
+    f = np.asarray(spectrum_fast(x, nperseg=512, noverlap=112, output_phase=True, method="fft"))
+    c = np.asarray(spectrum_fast(x, nperseg=512, noverlap=112, output_phase=True, method="conv"))
+    n_mag = f.shape[0] // 2
+    np.testing.assert_allclose(c[:n_mag], f[:n_mag], atol=2e-5)
+    mask = f[:n_mag] > 1e-5
+    assert np.percentile(np.abs(c[n_mag:] - f[n_mag:])[mask], 99) < 1e-2
+
+    ctf = np.asarray(
+        spectrum_fast(
+            x, nperseg=512, noverlap=112, output_phase=True, method="conv",
+            return_layout="CTF",
+        )
+    )
+    np.testing.assert_allclose(np.swapaxes(ctf, -1, -2), c, atol=1e-6)
+
+
+def test_conv_stft_no_last_frame_cut(rng):
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    a = np.asarray(spectrum_fast(x, nperseg=256, noverlap=64, output_phase=False,
+                                 method="conv", cut_last_timeframe=False))
+    b = np.asarray(spectrum_fast(x, nperseg=256, noverlap=64, output_phase=False,
+                                 method="fft", cut_last_timeframe=False))
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -308,3 +308,26 @@ def test_conv2d_smallcin_fpool_matches_xla(rng, pf, cin, cout, t):
     ref = max_pool_2d(ref, (pf, 1))
     got = conv2d_smallcin_bn_relu_fpool(x, w, scale, bias, pool_f=pf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def test_fused_infer_bctf_layout_matches(rng):
+    """fused_infer(input_layout='BCTF') on transposed feats == default path
+    (the conv-STFT serving handoff)."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = fused_infer(model, variables, x, interpret=True)
+    got = fused_infer(
+        model, variables, jnp.transpose(x, (0, 1, 3, 2)),
+        interpret=True, input_layout="BCTF",
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)

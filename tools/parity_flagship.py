@@ -3,17 +3,36 @@
 
 The tiny-shape full-model gate is 5e-4 (tests/test_model.py); this one-off
 pins the deviation at the canonical L3DAS21 clip scale with imported flagship
-weights (reference model.py:548-615 smoke shapes), f32 everywhere.
-Run on CPU: JAX_PLATFORMS=cpu python tools/parity_flagship.py
-Result is recorded in PARITY.md.
+weights (reference model.py:548-615 smoke shapes).
+
+IMPORTANT FINDING (2026-08-17): with RANDOM weights the flagship mapping is
+chaotic — the torch mirror ALONE amplifies a 1e-6 input perturbation to
+median |dSED| 1.8e-2 / max 1.0 (measured), so f32 cross-framework max|d| at
+this scale measures the function's conditioning, not implementation
+fidelity. The implementation-parity pin is therefore the F64 mode
+(PARITY_F64=1): in float64, rounding noise (~1e-16) stays far below the
+chaos amplification, and any residual disagreement is a real
+implementation difference. Run both:
+    JAX_PLATFORMS=cpu python tools/parity_flagship.py              # f32 stats
+    PARITY_F64=1 JAX_PLATFORMS=cpu python tools/parity_flagship.py # parity pin
+Results are recorded in PARITY.md.
 """
 
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+
+# the axon sitecustomize initializes JAX onto the shared TPU before this
+# script runs; clear the backend and repoint to CPU (tests/conftest.py recipe)
+import jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._clear_backends()
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -25,8 +44,14 @@ torch.manual_seed(0)
 torch.set_num_threads(max(os.cpu_count() - 1, 1))
 
 
+F64 = os.environ.get("PARITY_F64", "0") == "1"
+
+
 def main():
     import jax
+
+    if F64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from tests.torch_seld import SELDModelT
@@ -49,11 +74,15 @@ def main():
     tm.eval()
     print(f"torch warmup pass: {time.time()-t0:.0f}s", flush=True)
 
-    x = rng.standard_normal((1, 8, 256, 4800)).astype(np.float32)
+    if F64:
+        tm = tm.double()
+    x = rng.standard_normal((1, 8, 256, 4800)).astype(
+        np.float64 if F64 else np.float32
+    )
     t0 = time.time()
     with torch.no_grad():
         sed_ref, doa_ref = tm(torch.tensor(x))
-    print(f"torch forward: {time.time()-t0:.0f}s", flush=True)
+    print(f"torch forward ({'f64' if F64 else 'f32'}): {time.time()-t0:.0f}s", flush=True)
 
     model = _flagship_model(time_dim=4800)
     variables = import_reference_state_dict(tm.state_dict())
@@ -71,9 +100,20 @@ def main():
     sed, doa = np.asarray(sed), np.asarray(doa)
     print(f"jax forward (incl compile): {time.time()-t0:.0f}s", flush=True)
 
-    d_sed = float(np.max(np.abs(sed - sed_ref.numpy())))
-    d_doa = float(np.max(np.abs(doa - doa_ref.numpy())))
-    print(f"flagship (1,8,256,4800) parity: max|dSED|={d_sed:.3e} max|dDOA|={d_doa:.3e}")
+    sed_t, doa_t = sed_ref.numpy(), doa_ref.numpy()
+    np.savez("/tmp/parity_out.npz", sed=sed, doa=doa, sed_t=sed_t, doa_t=doa_t)
+    for name, a, b in [("SED", sed, sed_t), ("DOA", doa, doa_t)]:
+        d = np.abs(a - b)
+        # with random weights at this depth the head logits saturate the
+        # sigmoid/tanh; a knife-edge logit flipping sign reads as |d|~1-2
+        # even when per-element parity holds, so report the distribution and
+        # the unsaturated subset, not just the max
+        unsat = (np.abs(b) > 0.01) & (np.abs(b) < 0.99)
+        print(
+            f"{name}: max|d|={d.max():.3e} p99.9={np.quantile(d, 0.999):.3e} "
+            f"median={np.median(d):.3e} frac|d|>1e-3={np.mean(d > 1e-3):.4f} "
+            f"unsat n={unsat.sum()} max|d|unsat={d[unsat].max() if unsat.any() else 0:.3e}"
+        )
     print(f"sed range [{sed.min():.4f},{sed.max():.4f}] doa range [{doa.min():.4f},{doa.max():.4f}]")
 
 
