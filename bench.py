@@ -83,6 +83,10 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
     model = _flagship_model(time_dim=4800)
     if dtype == "bfloat16":
         model = dataclasses.replace(model, compute_dtype="bfloat16")
+    if impl == "int8":
+        # dynamic-activation int8 PTQ on the Hamilton 1x1 convs/linears
+        # (ops/pallas/quant.py); frontend/STFT stay bf16
+        model = dataclasses.replace(model, qconv_impl="int8")
     sr, secs = 32000, 60
     audio = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, 8, sr * secs)).astype(np.float32)
@@ -145,9 +149,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument(
-        "--impl", type=str, default=None, choices=["fused", "apply"],
-        help="serving path: fused (Pallas+XLA hybrid, default for bf16) or "
-        "plain model.apply (default for f32 parity mode)",
+        "--impl", type=str, default=None, choices=["fused", "apply", "int8"],
+        help="serving path: fused (Pallas+XLA hybrid, default for bf16), "
+        "plain model.apply (default for f32 parity mode), or int8 "
+        "(model.apply with dynamic-act int8 PTQ Hamilton matmuls)",
     )
     ap.add_argument("--measure-ref", action="store_true")
     args = ap.parse_args()

@@ -22,10 +22,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from seld_tpu.models.blocks import TCBlock
+from seld_tpu.models.attention import MultiHeadAttention
+from seld_tpu.models.blocks import dilation_schedule
+from seld_tpu.models.layers import max_pool_2d, max_pool_time
 from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
 from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
-from seld_tpu.models.layers import max_pool_2d
 from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
 from seld_tpu.ops.quaternion import conv_nd, quaternion_linear
 
@@ -61,6 +62,109 @@ def _linear(domain: str, params, x):
     return dual_quaternion_linear(x, w, b)
 
 
+def _affine(bn_params, bn_stats):
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
+    return inv, bn_params["bias"] - bn_stats["mean"] * inv
+
+
+def _conv1d_kernel(conv_params) -> jnp.ndarray:
+    """Assembled 1-D conv kernel (k, Cin, Cout) from real/Q/DQ params.
+
+    Unlike :func:`_frontend_kernel` (2-D), a real 1-D kernel is ndim 3 and a
+    stacked Q component tensor is ndim 4 — discriminate on ndim first."""
+    w = conv_params["w"]
+    if w.ndim == 3:
+        return w
+    if w.shape[0] == 4:
+        return assemble_q_kernel(w)
+    return assemble_dq_conv_kernel(w)
+
+
+def _folded_conv_kernel(conv_params, bn_params, bn_stats, dtype):
+    """Assembled 1-D kernel with eval-mode BN (and conv bias) folded in."""
+    w = _conv1d_kernel(conv_params)
+    inv, bias = _affine(bn_params, bn_stats)
+    if "b" in conv_params:
+        bias = bias + conv_params["b"] * inv
+    return (w * inv).astype(dtype), bias.astype(dtype)
+
+
+def _fused_tcn(model, tcn_p, tcn_s, h, dtype):
+    """Eval-mode TCN from the variables tree, restructured for serving:
+
+    per ResBlock (reference model.py:53-132 semantics, eval):
+    - bn_pre as an affine + tanh (BN running stats folded),
+    - filter & gate dilated convs MERGED into one L->2G conv with their
+      BNs folded into weights/bias (halves conv launches, doubles Cout on
+      the MXU),
+    - skip & res 1x1 convs MERGED into one G->(U+L) matmul.
+    Dropout is identity in eval. Tail (conv1 -> MHA -> conv2 + pools)
+    runs through the regular modules. Parity vs model.apply is pinned by
+    tests/test_pallas.py::test_fused_infer_matches_model.
+    """
+    g_width = model.G
+    skip_sum = None
+    for idx, dil in enumerate(dilation_schedule(model.D, model.dilation_mode)):
+        rp, rs = tcn_p[f"resblock_{idx}"], tcn_s[f"resblock_{idx}"]
+        inv, ab = _affine(rp["bn_pre"], rs["bn_pre"])
+        hpre = jnp.tanh(h * inv.astype(dtype) + ab.astype(dtype))
+
+        wf, bf = _folded_conv_kernel(rp["conv_filter"], rp["bn_filter"], rs["bn_filter"], dtype)
+        wg, bg = _folded_conv_kernel(rp["conv_gate"], rp["bn_gate"], rs["bn_gate"], dtype)
+        padding = ((model.kernel_size_dilated_conv - 1) * dil) // 2
+        y = conv_nd(
+            hpre,
+            jnp.concatenate([wf, wg], axis=-1),
+            jnp.concatenate([bf, bg]),
+            padding=padding,
+            dilation=dil,
+        )
+        y = jnp.tanh(y[..., :g_width]) * (1.0 / (1.0 + jnp.exp(-y[..., g_width:])))
+
+        ws = _conv1d_kernel(rp["conv_skip"]).astype(dtype)  # (1, G, U)
+        wr = _conv1d_kernel(rp["conv_res"]).astype(dtype)   # (1, G, L)
+        w_sr = jnp.concatenate([ws[0], wr[0]], axis=-1)
+        z = jnp.dot(y, w_sr)
+        if "b" in rp["conv_skip"]:
+            z = z + jnp.concatenate(
+                [rp["conv_skip"]["b"], rp["conv_res"]["b"]]
+            ).astype(dtype)
+        u = ws.shape[-1]
+        skip = z[..., :u]
+        skip_sum = skip if skip_sum is None else skip_sum + skip
+        h = hpre + z[..., u:]
+
+    out = jnp.maximum(skip_sum, 0.0)
+    if model.pool_time == "TCN":
+        out = max_pool_time(out, model.pool_size[0][1])
+
+    conv1 = _make_tail_conv(model, model.V[0])
+    out = conv1.apply({"params": tcn_p["conv1"]}, out)
+    attn = MultiHeadAttention(
+        embed_size=model.V[0], num_heads=8, impl=model.attention_impl,
+        dtype=jnp.bfloat16 if model.compute_dtype == "bfloat16" else None,
+    )
+    out = attn.apply({"params": tcn_p["attention"]}, out, out, out)
+    out = jnp.maximum(out, 0.0)
+    if model.pool_time == "TCN":
+        out = max_pool_time(out, model.pool_size[1][1])
+    conv2 = _make_tail_conv(model, model.V[1])
+    out = conv2.apply({"params": tcn_p["conv2"]}, out)
+    out = jnp.tanh(out)
+    if model.pool_time == "TCN":
+        out = max_pool_time(out, model.pool_size[2][1])
+    return out
+
+
+def _make_tail_conv(model, features):
+    from seld_tpu.models.layers import make_conv
+
+    return make_conv(
+        model.domain, features, model.V_kernel_size, 1, padding=1,
+        use_bias=model.use_bias_conv, impl=model.qconv_impl,
+    )
+
+
 def fused_infer(model, variables, x, interpret: bool = False, input_layout: str = "BCFT"):
     """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
 
@@ -74,6 +178,10 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
         "fused_infer supports the single-trunk configuration"
     )
     assert model.pool_time == "TCN", "fused frontend pools frequency only"
+    assert model.batch_norm == "BN", (
+        "fused_infer folds eval-mode BN into the convs (frontend AND TCN); "
+        "partial/no-BN configs serve via model.apply"
+    )
     params = variables["params"]["seld_block"]
     stats = variables.get("batch_stats", {}).get("seld_block", {})
     dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
@@ -107,21 +215,7 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
             h = max_pool_2d(y, (int(pool[0]), 1))
     b, f, t, c = h.shape
     h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
-
-    tcn = TCBlock(
-        domain=model.domain, G=model.G, U=model.U, V=model.V,
-        V_kernel_size=model.V_kernel_size, pool_size=model.pool_size,
-        D=model.D, spatial_dropout_rate=model.spatial_dropout_rate,
-        use_bias=model.use_bias_conv, dilation_mode=model.dilation_mode,
-        pool_time=model.pool_time, batch_norm=model.batch_norm,
-        kernel_size_dilated_conv=model.kernel_size_dilated_conv,
-        attention_impl=model.attention_impl, qconv_impl=model.qconv_impl,
-        dtype=model.compute_dtype,
-    )
-    tcn_vars = {"params": variables["params"]["seld_block"]["tcn"]}
-    if stats.get("tcn"):
-        tcn_vars["batch_stats"] = stats["tcn"]
-    h = tcn.apply(tcn_vars, h, train=False)
+    h = _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
 
     cdom = model.classifier_domain
     top = variables["params"]
