@@ -145,7 +145,10 @@ def main():
     # defaults = the serving configuration (best measured stable point:
     # batch 16 bf16; batch 32 OOMs on the un-pooled first conv activation,
     # f32 likewise caps at batch ~8). Parity mode: --dtype float32 --batch 4.
-    ap.add_argument("--batch", type=int, default=16)
+    # batch 32: best measured throughput on one v5e (the fused frontend
+    # never materializes the stage-1 activation that OOMed b32 in round 1);
+    # b64 OOMs at runtime. BENCH.md has the batch sweep.
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument(

@@ -140,8 +140,11 @@ def _fused_tcn(model, tcn_p, tcn_s, h, dtype):
 
     conv1 = _make_tail_conv(model, model.V[0])
     out = conv1.apply({"params": tcn_p["conv1"]}, out)
+    # serving resolves 'auto' to the Pallas flash kernel: 3.33 ms/call at
+    # the flagship T=2400 vs 8.3 ms for the chunked XLA path (BENCH.md)
+    attn_impl = "pallas" if model.attention_impl == "auto" else model.attention_impl
     attn = MultiHeadAttention(
-        embed_size=model.V[0], num_heads=8, impl=model.attention_impl,
+        embed_size=model.V[0], num_heads=8, impl=attn_impl,
         dtype=jnp.bfloat16 if model.compute_dtype == "bfloat16" else None,
     )
     out = attn.apply({"params": tcn_p["attention"]}, out, out, out)

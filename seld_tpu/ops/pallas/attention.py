@@ -276,14 +276,19 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1200,
+    block_k: int = 1200,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: (B, T, H, D) -> (B, T, H, D). Unmasked self-attention.
 
     Differentiable: the backward pass runs the Pallas FlashAttention-2
     kernels above (no (T, T) materialization in either direction).
+
+    Block defaults: at the flagship shape (b16, T=2400, H=8, D=48) larger
+    blocks win decisively — 3.33 ms/call at 1200 vs 5.48 at 480 vs 8.3 for
+    the chunked XLA path (interleaved A/B 2026-08-17); _pick_block rounds
+    down to the largest divisor of T, so smaller T still gets valid blocks.
     """
     t = q.shape[1]
     bq = _pick_block(t, block_q)

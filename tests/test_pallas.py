@@ -331,3 +331,18 @@ def test_fused_infer_bctf_layout_matches(rng):
     )
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
+
+
+def test_flash_attention_large_blocks(rng):
+    """Default (large) flash blocks vs exact full attention, including the
+    block-1200-style divisor path (T=240, block=120 in interpret mode)."""
+    from seld_tpu.models.attention import _attend_full
+    from seld_tpu.ops.pallas.attention import flash_attention
+
+    b, t, h, d = 2, 240, 4, 48
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    ref = _attend_full(q, k, v, 0.144, None)
+    got = flash_attention(q, k, v, 0.144, block_q=120, block_k=120, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
