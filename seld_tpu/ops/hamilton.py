@@ -174,10 +174,14 @@ def q_normalize(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return jnp.concatenate([r / norm, i / norm, j / norm, k / norm], axis=-1)
 
 
-def quaternion_exp(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Quaternion exponential exp(q) = e^r (cos|v|, v/|v| sin|v|)."""
+def quaternion_exp(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """Quaternion exponential exp(q) = e^r (cos|v|, v/|v| sin|v|).
+
+    Matches reference dual_quaternion_ops.py:227-243 exactly, including its
+    ADDITIVE epsilon convention |v| = sqrt(i^2+j^2+k^2) + 1e-4 (applied
+    after the root, unlike q_normalize's under-the-root epsilon)."""
     r, i, j, k = get_r(x), get_i(x), get_j(x), get_k(x)
-    v_norm = jnp.sqrt(i * i + j * j + k * k + eps)
+    v_norm = jnp.sqrt(i * i + j * j + k * k) + eps
     exp_r = jnp.exp(r)
     sinc = jnp.sin(v_norm) / v_norm
     return jnp.concatenate(

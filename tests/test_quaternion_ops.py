@@ -335,3 +335,30 @@ def test_hamilton_layer_rotation_flag(rng, layer_kind):
     variables = layer.init(jax.random.PRNGKey(0), x)
     out = layer.apply(variables, x)
     assert out.shape[-1] == 12  # 3 * (16 // 4)
+
+
+def test_q_normalize_and_exp_torch_oracle(rng):
+    """q_normalize / quaternion_exp vs the reference formulas executed in
+    torch (reference dual_quaternion_ops.py:206-243), incl. the exp's
+    ADDITIVE 1e-4 epsilon quirk."""
+    from seld_tpu.ops import q_normalize, quaternion_exp
+
+    x = rng.standard_normal((5, 16)).astype(np.float32)
+    tx = torch.tensor(x)
+    r, i, j, k = tx.chunk(4, dim=1)
+
+    norm = torch.sqrt(r * r + i * i + j * j + k * k + 0.0001)
+    want_norm = torch.cat([r / norm, i / norm, j / norm, k / norm], dim=1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(q_normalize(jnp.asarray(x))), want_norm, atol=1e-6
+    )
+
+    nv = torch.sqrt(i * i + j * j + k * k) + 0.0001
+    er = torch.exp(r)
+    want_exp = torch.cat(
+        [er * torch.cos(nv), er * (i / nv) * torch.sin(nv),
+         er * (j / nv) * torch.sin(nv), er * (k / nv) * torch.sin(nv)], dim=1
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(quaternion_exp(jnp.asarray(x))), want_exp, atol=1e-6
+    )

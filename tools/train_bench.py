@@ -30,7 +30,11 @@ def run_point(dtype: str, batch: int, iters: int = 5):
     from seld_tpu.config import SELDConfig
     from seld_tpu.training.steps import create_train_state, make_train_step
 
-    model = dataclasses.replace(_flagship_model(4800), compute_dtype=dtype)
+    model = dataclasses.replace(
+        _flagship_model(4800),
+        compute_dtype=dtype,
+        attention_impl=os.environ.get("TB_ATTN", "auto"),
+    )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
         input_channels=8, compute_dtype=dtype,
