@@ -177,6 +177,22 @@ def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _smallcin_kernel_win(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
+    """Like :func:`_smallcin_kernel`, but the F-window block is 4-D
+    (1, pf+2, kg, tt) — read directly from the halo'd (B, F+2, kg, T)
+    tensor via an Element-indexed overlapping window (no bands stack)."""
+    out = None
+    for r in range(pf):
+        stack = p_ref[0, r : r + 3].reshape(3 * kg, -1)
+        acc = jax.lax.dot_general(
+            w_ref[...], stack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
+        out = y if out is None else jnp.maximum(out, y)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
 def conv2d_smallcin_bn_relu_fpool(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -229,10 +245,6 @@ def conv2d_smallcin_bn_relu_fpool(
     if kg > 3 * cin:
         sh.append(jnp.zeros((b, f + 2, kg - 3 * cin, tpad), x.dtype))
     p0 = jnp.concatenate(sh, axis=2)  # (B, F+2, kg, tpad)
-    bands = jnp.stack(
-        [p0[:, i * pool_f : i * pool_f + pool_f + 2] for i in range(f // pool_f)],
-        axis=1,
-    )  # (B, F//pf, pf+2, kg, tpad)
 
     # weight rows match the (dy, (dx, c) zero-padded) stack order
     wt = jnp.pad(w.reshape(3, 3 * cin, cout), ((0, 0), (0, kg - 3 * cin), (0, 0)))
@@ -240,36 +252,70 @@ def conv2d_smallcin_bn_relu_fpool(
 
     pf = pool_f
     grid = (b, f // pf, tpad // tt)
-    out = pl.pallas_call(
-        functools.partial(_smallcin_kernel, pf=pf, kg=kg),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, pf + 2, kg, tt),
-                lambda b, fo, ti: (b, fo, 0, 0, ti),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * f * tpad * 3 * kg * cout,
-            bytes_accessed=(b * f * tpad * kg + b * (f // pf) * tpad * cout)
-            * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(
-        bands,
+    args = (
         wk,
         scale.astype(jnp.float32).reshape(cout, 1),
         bias.astype(jnp.float32).reshape(cout, 1),
     )
+    tail_specs = [
+        pl.BlockSpec((cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * b * f * tpad * 3 * kg * cout,
+        bytes_accessed=(b * f * tpad * kg + b * (f // pf) * tpad * cout)
+        * x.dtype.itemsize,
+        transcendentals=0,
+    )
+    if not interpret:
+        # read overlapping (pf+2)-row F-windows straight out of p0 with an
+        # Element-indexed start (fo*pf): no (B, F//pf, pf+2, kg, T) bands
+        # stack — at b16 that stack was a 1.6 GB write+read the kernel's
+        # ~3 ms of MXU work could never amortize. (Element indexing isn't
+        # supported by the interpreter, so interpret-mode tests keep the
+        # stacked path.)
+        out = pl.pallas_call(
+            functools.partial(_smallcin_kernel_win, pf=pf, kg=kg),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    # mixed Element/Blocked dims are rejected — every dim is
+                    # Element-indexed, so the index_map returns ELEMENT
+                    # starts (lane starts stay 128-aligned: tt | 128)
+                    (pl.Element(1), pl.Element(pf + 2), pl.Element(kg), pl.Element(tt)),
+                    lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+                    memory_space=pltpu.VMEM,
+                ),
+                *tail_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
+            cost_estimate=cost,
+        )(p0, *args)
+    else:
+        bands = jnp.stack(
+            [p0[:, i * pf : i * pf + pf + 2] for i in range(f // pf)], axis=1
+        )  # (B, F//pf, pf+2, kg, tpad)
+        out = pl.pallas_call(
+            functools.partial(_smallcin_kernel, pf=pf, kg=kg),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, pf + 2, kg, tt),
+                    lambda b, fo, ti: (b, fo, 0, 0, ti),
+                    memory_space=pltpu.VMEM,
+                ),
+                *tail_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
+            cost_estimate=cost,
+            interpret=True,
+        )(bands, *args)
     return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
