@@ -47,6 +47,11 @@ def main(argv=None):
                     help="seld_tpu checkpoint file (default: fresh init, for smoke tests)")
     ap.add_argument("--inputs", nargs="+", required=True)
     ap.add_argument("--out-dir", type=str, default="submissions")
+    ap.add_argument(
+        "--impl", type=str, default="auto", choices=["auto", "fused", "apply"],
+        help="serving path: auto picks the Pallas-fused pipeline on TPU for "
+        "single-trunk bf16 BN configs, model.apply otherwise",
+    )
     args, extra = ap.parse_known_args(argv)
 
     import numpy as np
@@ -67,11 +72,34 @@ def main(argv=None):
 
     nperseg, noverlap = 512, 112  # canonical L3DAS21 featurization (SURVEY §2.3)
 
+    # serving path: the Pallas-fused pipeline (BENCH.md) on TPU for
+    # single-trunk BN configs in bf16; everything else (CPU, parity-f32,
+    # parallel trunks) uses model.apply
+    use_fused = (
+        args.impl == "fused"
+        or (
+            args.impl == "auto"
+            and jax.default_backend() not in {"cpu"}
+            and cfg.compute_dtype == "bfloat16"
+            and cfg.parallel_ConvTC_block in {"False", "false", "None", "none"}
+            and cfg.batch_norm == "BN"
+            and cfg.pool_time == "TCN"
+        )
+    )
+    if use_fused:
+        from seld_tpu.models.fused_infer import fused_infer
+
     @jax.jit
     def pipeline(variables, audio):
         with jax.default_matmul_precision(
             "highest" if cfg.compute_dtype == "float32" else "default"
         ):
+            if use_fused:
+                feats = spectrum_fast(
+                    audio, nperseg=nperseg, noverlap=noverlap,
+                    output_phase=cfg.phase, method="conv", return_layout="CTF",
+                )
+                return fused_infer(model, variables, feats[None], input_layout="BCTF")
             feats = spectrum_fast(
                 audio, nperseg=nperseg, noverlap=noverlap, output_phase=cfg.phase
             )

@@ -34,6 +34,7 @@ def run_point(dtype: str, batch: int, iters: int = 5):
         _flagship_model(4800),
         compute_dtype=dtype,
         attention_impl=os.environ.get("TB_ATTN", "auto"),
+        frontend_bands=int(os.environ.get("TB_BANDS", "0")),
     )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
