@@ -70,7 +70,7 @@ def measure_reference():
     return (60.0 / 3600.0) / total
 
 
-def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
+def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +120,16 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
             )(audio)
             return model.apply(variables, feats, train=False)
 
+    if dp > 1:
+        # multi-chip dp serving: shard the batch over the 'data' mesh axis,
+        # replicate params; XLA SPMD partitions the whole fused pipeline
+        # (validated on the virtual CPU mesh by tests/test_sharding.py)
+        from seld_tpu.parallel.mesh import make_mesh, shard_batch, shard_variables
+
+        mesh = make_mesh(n_data=dp)
+        variables = shard_variables(mesh, variables)
+        audio = shard_batch(mesh, audio)
+
     peek = jax.jit(lambda o: o[0].ravel()[:64])
     out = pipeline(variables, audio)  # compile + warmup
     np.asarray(peek(out))
@@ -142,12 +152,10 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    # defaults = the serving configuration (best measured stable point:
-    # batch 16 bf16; batch 32 OOMs on the un-pooled first conv activation,
-    # f32 likewise caps at batch ~8). Parity mode: --dtype float32 --batch 4.
-    # batch 32: best measured throughput on one v5e (the fused frontend
-    # never materializes the stage-1 activation that OOMed b32 in round 1);
-    # b64 OOMs at runtime. BENCH.md has the batch sweep.
+    # defaults = the serving configuration. batch 32: best measured
+    # throughput on one v5e (the fused frontend never materializes the
+    # stage-1 activation that OOMed b32 in round 1); b64 OOMs at runtime.
+    # Parity mode: --dtype float32 --batch 4. BENCH.md has the batch sweep.
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
@@ -156,6 +164,11 @@ def main():
         help="serving path: fused (Pallas+XLA hybrid, default for bf16), "
         "plain model.apply (default for f32 parity mode), or int8 "
         "(model.apply with dynamic-act int8 PTQ Hamilton matmuls)",
+    )
+    ap.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel serving: shard the batch over a dp-way 'data' "
+        "mesh (requires dp visible devices)",
     )
     ap.add_argument("--measure-ref", action="store_true")
     args = ap.parse_args()
@@ -167,7 +180,7 @@ def main():
         ref = measure_reference()
         print(f"reference audio_hours/sec (torch CPU): {ref:.6f}", file=sys.stderr)
 
-    value, dt = measure_tpu(args.batch, args.iters, args.dtype, args.impl)
+    value, dt = measure_tpu(args.batch, args.iters, args.dtype, args.impl, args.dp)
     print(
         f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "
         f"({value:.3f} audio-hours/sec)",

@@ -128,3 +128,37 @@ def test_shard_map_dp_step_with_bn_runs(rng):
     state, loss1 = dp_step(state, xb, yb)
     state, loss2 = dp_step(state, xb, yb)
     assert np.isfinite(float(loss1)) and float(loss2) < float(loss1)
+
+
+def test_dp_serving_pipeline_matches_single(rng):
+    """The full serving pipeline (STFT + forward) sharded dp-8 over the
+    virtual mesh == unsharded numerics (the bench --dp path; apply impl —
+    Pallas kernels only lower on real TPUs)."""
+    from seld_tpu.data.features import spectrum_fast
+    from seld_tpu.parallel.mesh import make_mesh, shard_batch, shard_variables
+
+    cfg = _cfg()
+    model = model_from_config(cfg)
+    audio = jnp.asarray(rng.standard_normal((8, 8, 4000)).astype(np.float32))
+
+    @jax.jit
+    def pipeline(variables, audio):
+        feats = jax.vmap(
+            lambda a: spectrum_fast(a, nperseg=32, noverlap=16, output_phase=False)
+        )(audio)
+        feats = feats[:, :, :16, :16]
+        return model.apply(variables, feats, train=False)
+
+    feats0 = jax.vmap(
+        lambda a: spectrum_fast(audio[0], nperseg=32, noverlap=16, output_phase=False)
+    )(audio[:1])
+    variables = model.init(jax.random.PRNGKey(0), feats0[:, :, :16, :16], train=False)
+
+    ref = pipeline(variables, audio)
+
+    mesh = make_mesh(n_data=8)
+    vs = shard_variables(mesh, variables)
+    ab = shard_batch(mesh, audio)
+    got = pipeline(vs, ab)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
