@@ -218,18 +218,27 @@ def make_pak_loaders(
     seed: int = 0,
     test_batch_size: Optional[int] = None,
     transforms: Optional[Dict[str, Callable]] = None,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> Dict[str, PakBatchIterator]:
     """Pak-backed train/val/test loaders (native-gather counterpart of
-    :func:`make_loaders`); ``transforms`` maps split -> per-batch normalizer."""
+    :func:`make_loaders`); ``transforms`` maps split -> per-batch normalizer.
+    ``num_shards``/``shard_id`` select this host's rows of each global batch
+    (validated against ``batch_size`` in the iterator constructors)."""
     transforms = transforms or {}
     tbs = test_batch_size or batch_size
+    shard = dict(num_shards=num_shards, shard_id=shard_id)
     return {
         "train": PakBatchIterator(
             reader, "train", batch_size, shuffle=True, seed=seed,
-            transform=transforms.get("train"),
+            transform=transforms.get("train"), **shard,
         ),
-        "val": PakBatchIterator(reader, "val", batch_size, transform=transforms.get("val")),
-        "test": PakBatchIterator(reader, "test", tbs, transform=transforms.get("test")),
+        "val": PakBatchIterator(
+            reader, "val", batch_size, transform=transforms.get("val"), **shard
+        ),
+        "test": PakBatchIterator(
+            reader, "test", tbs, transform=transforms.get("test"), **shard
+        ),
     }
 
 
@@ -239,6 +248,8 @@ def make_loaders(
     batch_size: int,
     seed: int = 0,
     test_batch_size: Optional[int] = None,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> Dict[str, BatchIterator]:
     """Train (shuffled) / val / test loaders, mirroring reference train.py:442-444.
 
@@ -247,10 +258,12 @@ def make_loaders(
     overriding via ``test_batch_size``.
     """
     tbs = test_batch_size or batch_size
+    shard = dict(num_shards=num_shards, shard_id=shard_id)
     return {
         "train": BatchIterator(
-            predictors["train"], targets["train"], batch_size, shuffle=True, seed=seed
+            predictors["train"], targets["train"], batch_size, shuffle=True,
+            seed=seed, **shard,
         ),
-        "val": BatchIterator(predictors["val"], targets["val"], batch_size),
-        "test": BatchIterator(predictors["test"], targets["test"], tbs),
+        "val": BatchIterator(predictors["val"], targets["val"], batch_size, **shard),
+        "test": BatchIterator(predictors["test"], targets["test"], tbs, **shard),
     }

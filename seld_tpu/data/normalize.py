@@ -71,14 +71,36 @@ def compute_norm_stats(
             )
         return None
     n_mag = 4 * n_mics
-    stats = {
-        "mag_mean": float(np.mean(x[:, :n_mag], dtype=np.float64)),
-        "mag_std": float(np.std(np.asarray(x[:, :n_mag], dtype=np.float64))),
-    }
+    mm, ms = _streaming_mean_std(x, 0, n_mag)
+    stats = {"mag_mean": mm, "mag_std": ms}
     if phase:
-        stats["phase_mean"] = float(np.mean(x[:, n_mag:], dtype=np.float64))
-        stats["phase_std"] = float(np.std(np.asarray(x[:, n_mag:], dtype=np.float64)))
+        pm, ps = _streaming_mean_std(x, n_mag, x.shape[1])
+        stats["phase_mean"] = pm
+        stats["phase_std"] = ps
     return stats
+
+
+def _streaming_mean_std(x, c0: int, c1: int, rows_per_chunk: int = 16):
+    """Split-global mean/std of x[:, c0:c1] via chunked f64 sum/sum-of-squares.
+
+    Row chunks keep peak memory at ~one chunk (the previous whole-split f64
+    copy through np.mean/np.std was several times the on-disk size,
+    defeating the mmap loader's O(1)-startup purpose). Population std
+    (ddof=0), matching the prior np.std behavior; the reference's
+    torch.std is ddof=1, a <1e-8 relative difference at split scale
+    (reference train.py:344-408).
+    """
+    n = 0
+    total = 0.0
+    sq = 0.0
+    for i in range(0, x.shape[0], rows_per_chunk):
+        c = np.asarray(x[i : i + rows_per_chunk, c0:c1], dtype=np.float64)
+        n += c.size
+        total += float(c.sum())
+        sq += float(np.square(c).sum())
+    mean = total / n
+    var = max(sq / n - mean * mean, 0.0)
+    return float(mean), float(np.sqrt(var))
 
 
 def make_batch_transform(

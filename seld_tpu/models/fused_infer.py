@@ -20,6 +20,7 @@ tests/test_pallas.py::test_fused_infer_matches_model.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from seld_tpu.models.attention import MultiHeadAttention
@@ -124,7 +125,10 @@ def _fused_tcn(model, tcn_p, tcn_s, h, dtype):
         ws = _conv1d_kernel(rp["conv_skip"]).astype(dtype)  # (1, G, U)
         wr = _conv1d_kernel(rp["conv_res"]).astype(dtype)   # (1, G, L)
         w_sr = jnp.concatenate([ws[0], wr[0]], axis=-1)
-        z = jnp.dot(y, w_sr)
+        # pin f32 precision like the ops modules (CLAUDE.md: the MXU would
+        # otherwise truncate f32 operands to bf16); bf16 keeps the fast path
+        prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        z = jnp.dot(y, w_sr, precision=prec)
         if "b" in rp["conv_skip"]:
             z = z + jnp.concatenate(
                 [rp["conv_skip"]["b"], rp["conv_res"]["b"]]
@@ -184,6 +188,10 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
     assert model.batch_norm == "BN", (
         "fused_infer folds eval-mode BN into the convs (frontend AND TCN); "
         "partial/no-BN configs serve via model.apply"
+    )
+    assert not model.use_se_block, (
+        "fused_infer's frontend has no SE stage; SE configs serve via "
+        "model.apply"
     )
     params = variables["params"]["seld_block"]
     stats = variables.get("batch_stats", {}).get("seld_block", {})

@@ -316,9 +316,6 @@ def max_pool_time(x: jnp.ndarray, pool: int) -> jnp.ndarray:
     """
     if pool == 1:
         return x
-    t_out = x.shape[1] // pool
-    if t_out * pool != x.shape[1]:
-        x = x[:, : t_out * pool]
     return nn.max_pool(x, window_shape=(pool,), strides=(pool,), padding="VALID")
 
 
@@ -328,9 +325,6 @@ def max_pool_2d(x: jnp.ndarray, pool: Tuple[int, int]) -> jnp.ndarray:
     if pool[0] == 1 and pool[1] == 1:
         return x
     pf, pt = int(pool[0]), int(pool[1])
-    f_out, t_out = x.shape[1] // pf, x.shape[2] // pt
-    if f_out * pf != x.shape[1] or t_out * pt != x.shape[2]:
-        x = x[:, : f_out * pf, : t_out * pt]
     return nn.max_pool(x, window_shape=(pf, pt), strides=(pf, pt), padding="VALID")
 
 

@@ -117,10 +117,14 @@ def conv2d_im2col_bn_relu_fpool(
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert f % pool_f == 0, (f, pool_f)
-    tt = min(block_t, t)
-    while t % tt:
-        tt //= 2
-    assert t % tt == 0 and tt % 8 == 0, (t, tt)
+    # largest 8-aligned divisor of t within the block budget (halving-only
+    # search can skip valid divisors, e.g. t=1000 has 8|40|200 but no
+    # power-of-two path from 600)
+    tt = max(
+        (c for c in range(8, min(block_t, t) + 1, 8) if t % c == 0), default=None
+    )
+    assert tt is not None, f"no 8-aligned time-block divisor for t={t}"
+
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.concatenate(
@@ -338,10 +342,14 @@ def conv2d_bn_relu_fpool(
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert f % pool_f == 0, (f, pool_f)
-    tt = min(block_t, t)
-    while t % tt:
-        tt //= 2
-    assert t % tt == 0 and tt % 8 == 0, (t, tt)
+    # largest 8-aligned divisor of t within the block budget (halving-only
+    # search can skip valid divisors, e.g. t=1000 has 8|40|200 but no
+    # power-of-two path from 600)
+    tt = max(
+        (c for c in range(8, min(block_t, t) + 1, 8) if t % c == 0), default=None
+    )
+    assert tt is not None, f"no 8-aligned time-block divisor for t={t}"
+
 
     xw = _pack_windows(x, pool_f, tt)
     pf = pool_f

@@ -120,7 +120,23 @@ def global_batch(mesh: Mesh, *local_arrays):
     Every host passes its own rows (``shard_for_host`` slice / a sharded
     loader's batch); the result behaves like the full global batch inside
     jit. Single-process meshes take the plain device_put path.
+
+    Remainder batches whose GLOBAL row count does not divide the 'data' axis
+    cannot be batch-sharded; they are allgathered and REPLICATED instead
+    (every device computes the full batch — redundant but correct, and still
+    a valid global array for SPMD).
     """
+    n_global = local_arrays[0].shape[0] * jax.process_count()
+    if n_global % mesh.shape["data"]:
+        rep = NamedSharding(mesh, P())
+        full = [allgather_rows(np.asarray(a)) for a in local_arrays]
+        if jax.process_count() == 1:
+            out = tuple(jax.device_put(a, rep) for a in full)
+        else:
+            out = tuple(
+                jax.make_array_from_process_local_data(rep, a) for a in full
+            )
+        return out if len(out) > 1 else out[0]
     sharding = NamedSharding(mesh, P("data"))
     if jax.process_count() == 1:
         out = tuple(jax.device_put(np.asarray(a), sharding) for a in local_arrays)

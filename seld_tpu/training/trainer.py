@@ -129,11 +129,9 @@ class Trainer:
                     stats=compute_norm_stats(x_view, **norm_args), **norm_args
                 )
             self.loaders = make_pak_loaders(
-                self._pak_reader, cfg.batch_size, seed=1, transforms=transforms
+                self._pak_reader, cfg.batch_size, seed=1, transforms=transforms,
+                num_shards=self.n_hosts, shard_id=self.host_id,
             )
-            if self.n_hosts > 1:
-                for it in self.loaders.values():
-                    it.num_shards, it.shard_id = self.n_hosts, self.host_id
             test_shape = self._pak_reader.shape(self._pak_reader.SPLITS["test"][0])
         else:
             predictors, targets = load_task2_pickles(cfg)
@@ -141,10 +139,10 @@ class Trainer:
                 predictors, mode=cfg.dataset_normalization, n_mics=cfg.n_mics,
                 phase=cfg.phase, domain=cfg.domain,
             )
-            self.loaders = make_loaders(predictors, targets, cfg.batch_size, seed=1)
-            if self.n_hosts > 1:
-                for it in self.loaders.values():
-                    it.num_shards, it.shard_id = self.n_hosts, self.host_id
+            self.loaders = make_loaders(
+                predictors, targets, cfg.batch_size, seed=1,
+                num_shards=self.n_hosts, shard_id=self.host_id,
+            )
             test_shape = predictors["test"].shape
         drop_last = self.mesh is not None and self.mesh.shape["data"] > 1
         if drop_last:
@@ -183,6 +181,9 @@ class Trainer:
         if self.n_hosts > 1:
             from seld_tpu.parallel import multihost
 
+            # global_batch shard-or-replicates: remainder batches whose
+            # global row count doesn't divide the 'data' axis are allgathered
+            # and replicated (the multihost analogue of the guard below)
             return multihost.global_batch(
                 self.mesh, np.asarray(x, np.float32), np.asarray(y, np.float32)
             )

@@ -65,6 +65,13 @@ _WORKER = textwrap.dedent(
         np.testing.assert_array_equal(
             full, x[order[i * 8 : (i + 1) * 8]]
         )
+    # remainder batch: 3 rows/host -> 6 global rows don't divide the 4-way
+    # 'data' axis -> global_batch must allgather + REPLICATE (still a valid
+    # global array; the loaders always split remainders equally per host)
+    xr = np.arange(3, dtype=np.float32).reshape(3, 1) + 10.0 * jax.process_index()
+    xrg = multihost.global_batch(mesh, xr)
+    assert xrg.shape[0] == 6
+    assert abs(float(global_mean(xrg)) - np.mean([0,1,2,10,11,12])) < 1e-6
     print("RESULT " + json.dumps({"pid": pid, "rows": rows, "means": means}))
     """
 )
