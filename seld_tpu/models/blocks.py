@@ -188,6 +188,152 @@ class TCBlock(nn.Module):
         return out
 
 
+class _StatsBatchNorm(nn.Module):
+    """BatchNorm with externally computed batch statistics.
+
+    Used by the banded training frontend, where global batch stats are
+    accumulated across frequency bands before normalization. Variable paths
+    (params scale/bias; batch_stats mean/var) and the running-update formula
+    (retention momentum, biased batch var) match flax nn.BatchNorm / the
+    repo's torch-compatible BatchNorm exactly, so a module instantiated
+    under the same name is checkpoint-interchangeable with it.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mean, var, update_running: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if update_running and not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        inv = scale / jnp.sqrt(var + self.epsilon)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
+
+
+class _BandedTrainStage(nn.Module):
+    """Two-phase banded TRAINING front-end stage (see ConvTCBlock NOTE).
+
+    Phase 1 convs each frequency band and accumulates per-channel
+    sum/sum-of-squares (tiny carries; band activations are freed), giving
+    EXACT global batch-norm statistics; phase 2 recomputes each band's conv
+    and applies normalization + ReLU + freq-pool. The conv and BN submodule
+    scopes are shared with the parent ConvTCBlock (``nn.share_scope``), so
+    parameters live at the regular ``cnn_{i}`` / ``cnn_bn_{i}`` paths and
+    checkpoints are interchangeable with the direct stage. Costs 2x the
+    stage's (MXU-cheap) conv FLOPs; buys the training-memory ceiling — the
+    full-resolution stage-1 activation never materializes (BENCH.md: it is
+    what compile-OOMs the b16 flagship train step). Gradients flow through
+    both phases (two differentiable evaluations of the same function; their
+    contributions sum to the standard BN training gradient).
+    """
+
+    domain: str
+    features: int
+    kernel_size: int
+    pool: Tuple[int, int]
+    n_bands: int
+    idx: int
+    use_bias: bool = False
+    qconv_impl: str = "xla"
+    use_bn: bool = True
+    dropout: float = 0.0
+    remat: bool = True
+
+    def setup(self):
+        setattr(
+            self,
+            f"cnn_{self.idx}",
+            make_conv(
+                self.domain, self.features, self.kernel_size, 2, padding=(0, 1),
+                use_bias=self.use_bias, impl=self.qconv_impl,
+            ),
+        )
+        if self.use_bn:
+            setattr(self, f"cnn_bn_{self.idx}", _StatsBatchNorm())
+        self.drop = nn.Dropout(self.dropout)
+
+    def _conv(self, xb):
+        return getattr(self, f"cnn_{self.idx}")(xb)
+
+    def _sums(self, xb):
+        y = self._conv(xb).astype(jnp.float32)
+        return jnp.sum(y, axis=(0, 1, 2)), jnp.sum(y * y, axis=(0, 1, 2))
+
+    def _out(self, xb, mean, var, first: bool):
+        y = self._conv(xb)
+        if self.use_bn:
+            y = getattr(self, f"cnn_bn_{self.idx}")(
+                y, mean, var, update_running=first
+            )
+        return max_pool_2d(nn.relu(y), self.pool)
+
+    def __call__(self, x):
+        b, f, t, ch = x.shape
+        bh = f // self.n_bands
+        assert f % self.n_bands == 0 and bh % self.pool[0] == 0, (
+            f, self.n_bands, self.pool
+        )
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        bands = jnp.stack(
+            [xp[:, k * bh : k * bh + bh + 2] for k in range(self.n_bands)]
+        )  # (n_bands, B, bh+2, T, C)
+
+        # Both phases run as nn.scan so the bands are SEQUENCED by
+        # construction — with a plain python loop the XLA scheduler overlaps
+        # the independent band subgraphs and several 0.9 GB band activations
+        # go live at once (measured in the compile-OOM allocation dump).
+        mean = var = None
+        if self.use_bn:
+            def sums_body(mdl, carry, xb):
+                y = mdl._conv(xb).astype(jnp.float32)
+                return (
+                    carry[0] + jnp.sum(y, axis=(0, 1, 2)),
+                    carry[1] + jnp.sum(y * y, axis=(0, 1, 2)),
+                ), 0
+            body = nn.remat(sums_body) if self.remat else sums_body
+            scan1 = nn.scan(
+                body, variable_broadcast=["params", "batch_stats"],
+                split_rngs={}, in_axes=0, out_axes=0,
+            )
+            zero = jnp.zeros((self.features,), jnp.float32)
+            (tot, totsq), _ = scan1(self, (zero, zero), bands)
+            n = b * f * t
+            mean = tot / n
+            var = jnp.maximum(totsq / n - mean * mean, 0.0)
+            # running-stats update OUTSIDE the scan (broadcast variables
+            # can't be mutated inside); the normalized dummy is discarded
+            getattr(self, f"cnn_bn_{self.idx}")(
+                jnp.zeros((1, 1, 1, self.features), x.dtype),
+                mean, var, update_running=True,
+            )
+
+        def out_body(mdl, carry, xb):
+            y = mdl._conv(xb)
+            if mdl.use_bn:
+                y = getattr(mdl, f"cnn_bn_{mdl.idx}")(y, mean, var)
+            y = max_pool_2d(nn.relu(y), mdl.pool)
+            return carry, mdl.drop(y, deterministic=False)
+
+        body2 = nn.remat(out_body) if self.remat else out_body
+        scan2 = nn.scan(
+            body2, variable_broadcast=["params", "batch_stats"],
+            split_rngs={"dropout": True}, in_axes=0, out_axes=0,
+        )
+        _, ys = scan2(self, 0, bands)  # (n_bands, B, bh//pf, T, C')
+        ys = jnp.moveaxis(ys, 0, 1)
+        return ys.reshape(b, f // self.pool[0], *ys.shape[3:])
+
+
 class ConvTCBlock(nn.Module):
     """CNN front-end + TCN on (B, F, T, C) -> (B, T_pooled, V[-1]).
 
@@ -239,6 +385,21 @@ class ConvTCBlock(nn.Module):
             x = SEBlock(name=f"se_{i}")(x)
         return nn.Dropout(self.dropout_perc)(x, deterministic=not train)
 
+    def _cnn_stage_banded_train(self, x, i: int, c: int, pool, n_bands: int):
+        """Training counterpart of :meth:`_cnn_stage_banded` — delegates to
+        :class:`_BandedTrainStage` with a shared scope so parameters stay at
+        the regular ``cnn_{i}`` / ``cnn_bn_{i}`` paths."""
+        stage = _BandedTrainStage(
+            domain=self.domain, features=c,
+            kernel_size=self.kernel_size_cnn_blocks, pool=tuple(pool),
+            n_bands=n_bands, idx=i, use_bias=self.use_bias,
+            qconv_impl=self.qconv_impl,
+            use_bn=self.batch_norm in _BN_ON_CNN,
+            dropout=self.dropout_perc, remat=self.remat,
+        )
+        nn.share_scope(self, stage)
+        return stage(x)
+
     def _cnn_stage_banded(self, x, i: int, c: int, pool, train: bool, n_bands: int):
         """Sequential frequency-banded stage (nn.scan, shared params): caps the
         peak activation at 1/n_bands of the full stage — the full-resolution
@@ -280,10 +441,13 @@ class ConvTCBlock(nn.Module):
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
             if (
-                i == 0 and self.frontend_bands > 1 and not train
+                i == 0 and self.frontend_bands > 1
                 and pool[1] == 1 and not self.use_se_block
             ):
-                x = self._cnn_stage_banded(x, i, c, pool, train, self.frontend_bands)
+                if train:
+                    x = self._cnn_stage_banded_train(x, i, c, pool, self.frontend_bands)
+                else:
+                    x = self._cnn_stage_banded(x, i, c, pool, train, self.frontend_bands)
             else:
                 x = stage(self, x, i, c, pool, train, False)
         # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the

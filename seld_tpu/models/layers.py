@@ -307,12 +307,11 @@ def make_linear(
 def max_pool_time(x: jnp.ndarray, pool: int) -> jnp.ndarray:
     """MaxPool1d over the time axis of (B, T, C); floor division like torch.
 
-    NOTE: a reshape+max formulation (select-and-scatter-free backward) was
-    tried for the training-memory peak, but its flagship train-step program
-    CRASHES the TPU compiler (remote compile helper exits 1 at b8 while the
-    reduce_window form compiles in 83 s — tools/train_bench.py isolation,
-    2026-08-17). Keep reduce_window until the pool backward moves to a
-    Pallas kernel.
+    Backward NOTE (BENCH.md): reduce_window's select-and-scatter gradient is
+    the most compile-memory-efficient formulation measured — BOTH a
+    reshape+max variant AND an equality-mask custom VJP made the flagship
+    train step compile-OOM at batches reduce_window handles. Keep
+    reduce_window.
     """
     if pool == 1:
         return x

@@ -147,3 +147,42 @@ def test_trainer_with_seldpak(tmp_path, monkeypatch):
     trainer = Trainer(cfg, verbose=False)
     results = trainer.run(max_epochs=1)
     assert np.isfinite(results["test_loss"])
+
+
+def test_export_serving_roundtrip(tmp_path, monkeypatch):
+    """tools/export_serving.py: export the apply-impl pipeline to a
+    StableHLO artifact, deserialize, and check outputs == live pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_serving
+
+    from seld_tpu.config import SELDConfig
+    from seld_tpu.models import model_from_config
+    from jax import export as jexport
+
+    cfg = SELDConfig(
+        domain="Q", input_channels=8, freq_dim=256, time_dim=40, n_mics=2,
+        cnn_filters=[8, 8, 8], pool_size=[[2, 2], [2, 2], [2, 2]],
+        D=[2], G=8, U=8, V=[8, 8], fc_layers=[8], batch_size=2,
+        attention_impl="full", pool_time="TCN", phase=False, sr=16000,
+    )
+    model = model_from_config(cfg)
+    pipeline = export_serving.build_pipeline(cfg, model, "apply")
+
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 16000)).astype(np.float32)
+    )
+    feats0 = jnp.zeros((1, 8, 256, 37), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+    want = jax.jit(pipeline)(variables, audio)
+
+    exp = jexport.export(jax.jit(pipeline))(variables, audio)
+    blob = exp.serialize()
+    exp2 = jexport.deserialize(blob)
+    got = jax.jit(exp2.call)(variables, audio)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), atol=1e-6)
