@@ -8,7 +8,7 @@ works on (B, F, T, C) NHWC.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -264,18 +264,6 @@ class _BandedTrainStage(nn.Module):
 
     def _conv(self, xb):
         return getattr(self, f"cnn_{self.idx}")(xb)
-
-    def _sums(self, xb):
-        y = self._conv(xb).astype(jnp.float32)
-        return jnp.sum(y, axis=(0, 1, 2)), jnp.sum(y * y, axis=(0, 1, 2))
-
-    def _out(self, xb, mean, var, first: bool):
-        y = self._conv(xb)
-        if self.use_bn:
-            y = getattr(self, f"cnn_bn_{self.idx}")(
-                y, mean, var, update_running=first
-            )
-        return max_pool_2d(nn.relu(y), self.pool)
 
     def __call__(self, x):
         b, f, t, ch = x.shape

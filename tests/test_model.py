@@ -257,6 +257,54 @@ def test_banded_frontend_matches_direct(rng):
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
 
 
+def test_banded_frontend_train_matches_direct(rng):
+    """TRAIN-mode banded stage (_BandedTrainStage two-phase scan) must match
+    the direct stage: forward output, updated batch_stats AND gradients
+    (dropout off so train=True is deterministic)."""
+    from seld_tpu.models.blocks import ConvTCBlock
+
+    kw = dict(
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), batch_norm="BN",
+        use_bias=False, attention_impl="full", dropout_perc=0.0,
+        spatial_dropout_rate=0.0,
+    )
+    direct = ConvTCBlock(**kw)
+    banded = ConvTCBlock(frontend_bands=4, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    variables = direct.init(jax.random.PRNGKey(0), x, train=False)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def run(model):
+        def loss_fn(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            return jnp.sum(out * out), (out, upd["batch_stats"])
+
+        (loss, (out, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        return out, stats, grads
+
+    out_d, stats_d, grads_d = run(direct)
+    out_b, stats_b, grads_b = run(banded)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        stats_b, stats_d,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-4
+        ),
+        grads_b, grads_d,
+    )
+
+
 def test_fc_relu_head_parity(rng):
     """fc_activations='relu' head variant (reference model.py:442-444)."""
     torch.manual_seed(5)

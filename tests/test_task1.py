@@ -35,6 +35,23 @@ def test_stoi_monotonic_in_snr(rng):
     assert scores[2] < 0.6
 
 
+def test_stoi_matches_pystoi_when_available(rng):
+    """Oracle pin vs pystoi (the reference's STOI dependency, metrics.py:9).
+
+    pystoi is not shipped in this image, so this is skip-gated; when present
+    it bounds the absolute deviation of our from-scratch Taal-2010
+    implementation (ADVICE r2: band-edge assignment / OLA silent-frame
+    details can shift absolute scores)."""
+    pystoi = pytest.importorskip("pystoi")
+    x = _speechlike(rng)
+    noise = rng.standard_normal(len(x))
+    for g in (0.0, 0.3, 1.0, 3.0):
+        y = x + g * noise
+        ours = stoi(x, y, 16000)
+        theirs = pystoi.stoi(x, y, 16000, extended=False)
+        assert abs(ours - theirs) < 0.05, (g, ours, theirs)
+
+
 def test_word_error_rate_exact():
     assert word_error_rate("a b c", "a b c") == 0.0
     assert word_error_rate("a b c", "a x c") == pytest.approx(1 / 3)

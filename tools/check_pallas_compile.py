@@ -42,6 +42,46 @@ def shaped(shape, dtype=jnp.bfloat16):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
+def exec_smallcin_vs_xla():
+    """Execute-and-compare: the real-TPU smallcin path (_smallcin_kernel_win,
+    Element-indexed F-windows) is a DIFFERENT kernel + packing than the
+    interpret path the CPU tests pin (ADVICE r2) — run it on the chip at a
+    small shape against the XLA conv oracle so window-indexing bugs can't
+    ship silently into serving."""
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+
+    rng = np.random.default_rng(0)
+    b, f, t, cin, cout, pf = 2, 32, 640, 8, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    def oracle(x, w, s, bb):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jnp.maximum(y * s + bb, 0.0)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, pf, 1, 1), (1, pf, 1, 1), "VALID"
+        )
+
+    try:
+        got = np.asarray(
+            jax.jit(
+                lambda *a: conv2d_smallcin_bn_relu_fpool(*a, pool_f=pf)
+            )(x, w, s, bb)
+        )
+        want = np.asarray(jax.jit(oracle)(x, w, s, bb))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+        print("OK    smallcin Element-window kernel EXECUTES == XLA oracle", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  smallcin execute-and-compare: {msg}", flush=True)
+        FAILS.append("smallcin exec-compare")
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
 
@@ -99,6 +139,8 @@ def main():
         shaped((B * 2400, 384), jnp.bfloat16),
         shaped((384, 384), jnp.int8), shaped((384,), jnp.float32),
     )
+
+    exec_smallcin_vs_xla()
 
     if FAILS:
         print(f"\n{len(FAILS)} kernel(s) FAILED to lower: {FAILS}")
