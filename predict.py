@@ -72,16 +72,16 @@ def main(argv=None):
 
     nperseg, noverlap = 512, 112  # canonical L3DAS21 featurization (SURVEY §2.3)
 
-    # serving path: the Pallas-fused pipeline (BENCH.md) on TPU for
-    # single-trunk BN configs in bf16; everything else (CPU, parity-f32,
-    # parallel trunks) uses model.apply
+    # serving path: the Pallas-fused pipeline (BENCH.md) on TPU for BN
+    # configs in bf16 — single-trunk AND 2Parallel/magphase (each branch runs
+    # the per-stage fused dispatch); everything else (CPU, parity-f32,
+    # partial-BN, SE) uses model.apply
     use_fused = (
         args.impl == "fused"
         or (
             args.impl == "auto"
             and jax.default_backend() not in {"cpu"}
             and cfg.compute_dtype == "bfloat16"
-            and cfg.parallel_ConvTC_block in {"False", "false", "None", "none"}
             and cfg.batch_norm == "BN"
             and cfg.pool_time == "TCN"
             and not cfg.use_se_block

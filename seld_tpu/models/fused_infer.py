@@ -172,31 +172,11 @@ def _make_tail_conv(model, features):
     )
 
 
-def fused_infer(model, variables, x, interpret: bool = False, input_layout: str = "BCFT"):
-    """(sed, doa) for a single-trunk SELDModel, Pallas-fused frontend.
+def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout):
+    """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
 
-    x: (B, C, F, T) reference layout (like ``model.apply``), or — with
-    ``input_layout='BCTF'`` — the conv-STFT's native (B, C, T, F) order,
-    which hands the first smallcin stage its channel-on-sublane layout with
-    ONE transpose instead of three (spectrum swap + entry + packer).
-    """
-    assert input_layout in {"BCFT", "BCTF"}, input_layout
-    assert model.parallel_ConvTC_block in {"False", "false", "None", "none"}, (
-        "fused_infer supports the single-trunk configuration"
-    )
-    assert model.pool_time == "TCN", "fused frontend pools frequency only"
-    assert model.batch_norm == "BN", (
-        "fused_infer folds eval-mode BN into the convs (frontend AND TCN); "
-        "partial/no-BN configs serve via model.apply"
-    )
-    assert not model.use_se_block, (
-        "fused_infer's frontend has no SE stage; SE configs serve via "
-        "model.apply"
-    )
-    params = variables["params"]["seld_block"]
-    stats = variables.get("batch_stats", {}).get("seld_block", {})
-    dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
-
+    x: (B, C, F, T) or — ``input_layout='BCTF'`` — (B, C, T, F).
+    Returns (B, T_pooled, V[-1])."""
     cin0 = x.shape[1]
     if input_layout == "BCTF" and 3 * cin0 <= 32:
         h = jnp.transpose(x, (0, 3, 1, 2)).astype(dtype)  # (B, F, C, T)
@@ -226,7 +206,70 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
             h = max_pool_2d(y, (int(pool[0]), 1))
     b, f, t, c = h.shape
     h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
-    h = _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
+    return _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
+
+
+def fused_infer(model, variables, x, interpret: bool = False, input_layout: str = "BCFT"):
+    """(sed, doa) for a SELDModel, Pallas-fused frontend.
+
+    Supports the single-trunk configs AND the 2Parallel / parallel_magphase
+    branch topologies (reference model.py:405-426,462-471): each trunk runs
+    the same per-stage fused dispatch from its own variables subtree
+    (branch_A / branch_B) and the outputs concatenate on the feature axis.
+
+    x: (B, C, F, T) reference layout (like ``model.apply``), or — with
+    ``input_layout='BCTF'`` — the conv-STFT's native (B, C, T, F) order,
+    which hands the first smallcin stage its channel-on-sublane layout with
+    ONE transpose instead of three (spectrum swap + entry + packer).
+    """
+    assert input_layout in {"BCFT", "BCTF"}, input_layout
+    # mirror seld.py:130 exactly: ONLY the 2Parallel spellings branch; every
+    # other value (incl. the QSELD config's literal 'True',
+    # config/QSELD-TCN-S1-PHI_parallel_8ch.txt) is single-trunk, as in the
+    # reference (model.py:405 checks the same set)
+    from seld_tpu.models.seld import _PARALLEL_2
+
+    parallel = model.parallel_ConvTC_block in _PARALLEL_2
+    assert model.pool_time == "TCN", "fused frontend pools frequency only"
+    assert model.batch_norm == "BN", (
+        "fused_infer folds eval-mode BN into the convs (frontend AND TCN); "
+        "partial/no-BN configs serve via model.apply"
+    )
+    assert not model.use_se_block, (
+        "fused_infer's frontend has no SE stage; SE configs serve via "
+        "model.apply"
+    )
+    dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
+    all_p = variables["params"]
+    all_s = variables.get("batch_stats", {})
+
+    if parallel:
+        # channel split on axis 1 == the model's channel-last split after its
+        # entry transpose (seld.py:130-140)
+        if model.parallel_magphase:
+            x_a = jnp.concatenate([x[:, 0:4], x[:, 8:12]], axis=1)
+            x_b = jnp.concatenate([x[:, 4:8], x[:, 12:]], axis=1)
+        else:
+            half = model.input_channels // 2
+            x_a, x_b = x[:, :half], x[:, half:]
+        h = jnp.concatenate(
+            [
+                _fused_trunk(
+                    model, all_p["branch_A"], all_s.get("branch_A", {}),
+                    x_a, dtype, interpret, input_layout,
+                ),
+                _fused_trunk(
+                    model, all_p["branch_B"], all_s.get("branch_B", {}),
+                    x_b, dtype, interpret, input_layout,
+                ),
+            ],
+            axis=-1,
+        )
+    else:
+        h = _fused_trunk(
+            model, all_p["seld_block"], all_s.get("seld_block", {}),
+            x, dtype, interpret, input_layout,
+        )
 
     cdom = model.classifier_domain
     top = variables["params"]

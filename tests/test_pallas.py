@@ -192,6 +192,38 @@ def test_fused_infer_matches_model(rng, filters):
     np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "magphase,cin", [(False, 8), (True, 16)],
+    ids=["2Parallel", "magphase"],
+)
+def test_fused_infer_parallel_matches_model(rng, magphase, cin):
+    """fused_infer on the 2Parallel / parallel_magphase branch topologies
+    (reference model.py:405-426,462-471) must match model.apply — each trunk
+    runs the per-stage fused dispatch from its branch_A/branch_B subtree."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=cin, output_classes=14,
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+        parallel_ConvTC_block="2Parallel", parallel_magphase=magphase,
+    )
+    x = jnp.asarray(rng.standard_normal((2, cin, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
+    # BCTF layout path on the parallel topology too
+    sed2, doa2 = fused_infer(
+        model, variables, jnp.transpose(x, (0, 1, 3, 2)),
+        interpret=True, input_layout="BCTF",
+    )
+    np.testing.assert_allclose(np.asarray(sed2), np.asarray(sed_ref), atol=1e-4)
+
+
 @pytest.mark.parametrize("t,d", [(64, 16), (96, 48)])
 def test_flash_attention_grads_match_full(rng, t, d):
     """Pallas flash-attention backward (custom VJP) vs XLA full attention."""
