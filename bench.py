@@ -106,14 +106,15 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1):
     def pipeline(variables, audio):
         with jax.default_matmul_precision(precision):
             if impl == "fused":
-                # conv-STFT in its native (C, T, F) order feeds the fused
-                # frontend's channel-on-sublane packer with one transpose
-                feats = jax.vmap(
-                    lambda a: spectrum_fast(
-                        a, nperseg=512, noverlap=112, output_phase=False,
-                        method="conv", return_layout="CTF",
-                    )
-                )(audio)
+                # fused Pallas STFT-magnitude kernel emits bf16 (B, C, T, F)
+                # directly — no conv layout copies, |.|+cast fused
+                # (ops/pallas/stft.py; A/B vs conv-STFT: 180.8 -> 158.7 ms
+                # at b32, BENCH.md round 3)
+                from seld_tpu.ops.pallas.stft import stft_mag_pallas
+
+                feats = stft_mag_pallas(
+                    audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
+                )
                 return fused_infer(model, variables, feats, input_layout="BCTF")
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)

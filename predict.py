@@ -96,10 +96,23 @@ def main(argv=None):
             "highest" if cfg.compute_dtype == "float32" else "default"
         ):
             if use_fused:
-                feats = spectrum_fast(
-                    audio, nperseg=nperseg, noverlap=noverlap,
-                    output_phase=cfg.phase, method="conv", return_layout="CTF",
+                from seld_tpu.ops.pallas.stft import (
+                    stft_mag_pallas, stft_mag_supported,
                 )
+
+                if not cfg.phase and stft_mag_supported(nperseg, noverlap):
+                    # magnitude-only configs: fused Pallas STFT kernel
+                    # (ops/pallas/stft.py, BENCH.md round 3); phase configs
+                    # keep the strided-conv formulation
+                    feats = stft_mag_pallas(
+                        audio, nperseg=nperseg, noverlap=noverlap,
+                        out_dtype=jnp.bfloat16,
+                    )
+                else:
+                    feats = spectrum_fast(
+                        audio, nperseg=nperseg, noverlap=noverlap,
+                        output_phase=cfg.phase, method="conv", return_layout="CTF",
+                    )
                 return fused_infer(model, variables, feats[None], input_layout="BCTF")
             feats = spectrum_fast(
                 audio, nperseg=nperseg, noverlap=noverlap, output_phase=cfg.phase

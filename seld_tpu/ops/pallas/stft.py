@@ -1,0 +1,240 @@
+"""Fused STFT-magnitude Pallas kernel for the serving featurizer.
+
+Replaces the strided-XLA-conv STFT (`data/features.py` method='conv') on the
+serving path. The real-TPU trace (BENCH.md round 3) showed the conv
+formulation pays ~19 ms/b16: 7.7 ms of bf16 conv plus ~11 ms of pure layout
+work (pad/bitcast of the audio into the conv's NWC layout, two full-tensor
+relayout copies around the conv, and the magnitude/cast epilogue). This
+kernel reads the padded audio in its natural row-major layout (only bitcast
+reshapes outside), runs the windowed real DFT as MXU matmuls with frames on
+sublanes, fuses |.| and the bf16 cast, and writes the (rows, T, F) tensor
+the fused serving frontend consumes — no relayouts anywhere.
+
+Alignment strategy (the hard part: hop=400 is not lane-aligned):
+``lcm(hop, 128)`` samples form a *frame group* (8 frames of hop 400 ->
+3200 samples) whose start is always 128-lane aligned. Within a group,
+frame ``df`` starts at ``400*df = 128*a + off`` with ``off in {0,16,..,112}``;
+the DFT matrix rows are pre-shifted by ``off`` per ``df`` (zero padding), so
+every in-kernel slice start stays 128-aligned. The last frame of a group
+additionally needs the first 128 lanes of the *next* group, which the
+block reads as one extra overlapping group row (Element-indexed tiles).
+
+Reference semantics reproduced (reference utility_functions.py:129-155 via
+scipy.signal.stft): periodic Hamming window, zero boundary of nperseg//2,
+tail zero-pad to whole hops, 1/win.sum() normalization, DC bin cut, last
+frame cut. Parity vs the scipy path is pinned in tests/test_stft_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shifted_dft_tables(nperseg: int, hop: int, fpg: int, n_bins: int):
+    """(fpg*wrows, 2*n_bins) stacked per-frame-offset DFT tables + head table.
+
+    Row block ``df`` holds the windowed real-DFT matrix shifted down by
+    ``off(df) = hop*df - 128*(hop*df//128)`` so the kernel's lane reads stay
+    128-aligned. The final frame of a group crosses into the next group; its
+    in-group part uses rows ``[off, wrows)`` and the spillover taps live in a
+    separate (128, 2*n_bins) head table.
+    """
+    win = 0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
+    t = np.arange(nperseg)[:, None]
+    k = np.arange(1, n_bins + 1)[None, :]
+    angle = 2.0 * np.pi * t * k / nperseg
+    scale = win[:, None] / win.sum()
+    m = np.concatenate(
+        [np.cos(angle) * scale, np.sin(angle) * scale], axis=1
+    )  # (nperseg, 2F)
+    group = hop * fpg
+    offs = [hop * df - 128 * ((hop * df) // 128) for df in range(fpg)]
+    # taps of the group's last frame that live in the next group
+    spill = max(0, hop * (fpg - 1) + nperseg - group)
+    wrows = -(-(max(off + nperseg for off in offs)) // 128) * 128
+    tables = np.zeros((fpg, wrows, 2 * n_bins), np.float64)
+    for df, off in enumerate(offs):
+        a0 = hop * df - off
+        rows = min(nperseg, wrows - off, group - a0 - off)
+        tables[df, off : off + rows] = m[:rows]
+    head_rows = -(-spill // 128) * 128 if spill else 128
+    head = np.zeros((head_rows, 2 * n_bins), np.float64)
+    if spill:
+        head[:spill] = m[nperseg - spill :]
+    return tables.astype(np.float32), head.astype(np.float32), wrows, offs
+
+
+def _stft_kernel(x_ref, w_ref, wh_ref, o_ref, *, fpg, wrows, starts, n_bins, gt):
+    """x (Gt+1, group) -> o (Gt*fpg, n_bins) magnitudes.
+
+    starts[df]: 128-aligned lane start of frame df's table rows.
+    """
+    group = x_ref.shape[-1]
+    mags = []
+    for df in range(fpg):
+        a0 = starts[df]
+        wdf = min(wrows, group - a0)  # last frame: stop at the group edge
+        xs = x_ref[0, :gt, a0 : a0 + wdf]  # (Gt, wdf) aligned
+        y = jax.lax.dot_general(
+            xs, w_ref[df, :wdf], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Gt, 2F)
+        if df == fpg - 1:
+            xh = x_ref[0, 1 : gt + 1, : wh_ref.shape[0]]  # next group's head
+            y = y + jax.lax.dot_general(
+                xh, wh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        re, im = y[:, :n_bins], y[:, n_bins:]
+        mags.append(jnp.sqrt(re * re + im * im))
+    out = jnp.stack(mags, axis=1)  # (Gt, fpg, F)
+    o_ref[0] = out.reshape(gt * fpg, n_bins).astype(o_ref.dtype)
+
+
+def _pick_gt(g: int, block_groups: int) -> int:
+    """Groups-per-tile for the Element-indexed grid.
+
+    Mosaic requires BOTH the overlapping input block's sublane size and its
+    per-tile start offset (gi*gt) to be 8-divisible, so gt must be a
+    multiple of 8 (the tile overlaps the next 8 group rows; the kernel uses
+    only the first of them). Among candidates pick the one minimizing
+    padded total groups (wasted DFT work), preferring tiles >=48 rows
+    (MXU sublane utilization), tie-breaking toward larger tiles. Falls
+    back to a single full tile when g is too small to tile.
+    """
+    cands = [gt for gt in range(8, min(block_groups, g) + 1, 8)]
+    if not cands:
+        return g
+    big = [gt for gt in cands if gt >= 48] or cands
+    return min(big, key=lambda gt: (-(-g // gt) * gt, -gt))
+
+
+def stft_mag_supported(nperseg: int, noverlap: int) -> bool:
+    hop = nperseg - noverlap
+    if hop <= 0 or nperseg % 2:
+        return False
+    fpg = 128 // math.gcd(hop, 128)
+    group = hop * fpg
+    # only the group's LAST frame may spill into the next group, the spill
+    # must fit in one group, and the tables must fit comfortably in VMEM
+    if fpg >= 2 and hop * (fpg - 2) + nperseg > group:
+        return False
+    if hop * (fpg - 1) + nperseg - group > group:
+        return False
+    # actual stacked-table footprint at bf16 (the serving dtype); 2*n_bins
+    # table columns == nperseg. Leave >=5 MB of the 16 MB VMEM for blocks.
+    offs = [(hop * df) % 128 for df in range(fpg)]
+    wrows = -(-max(off + nperseg for off in offs) // 128) * 128
+    return group <= 8192 and fpg * wrows * nperseg * 2 <= 11 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nperseg", "noverlap", "out_dtype", "interpret", "block_groups"),
+)
+def stft_mag_pallas(
+    x: jnp.ndarray,
+    nperseg: int = 512,
+    noverlap: int = 112,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    block_groups: int = 120,
+) -> jnp.ndarray:
+    """x (..., n) f32 audio -> (..., T, F) STFT magnitudes, scipy semantics.
+
+    F = nperseg//2 (DC cut), T = the scipy frame count minus the cut last
+    frame — matching ``spectrum_fast(cut_dc=True, cut_last_timeframe=True,
+    output_phase=False)``. The DFT runs on the MXU in bf16 with f32
+    accumulation (same arithmetic XLA picks for the conv formulation under
+    default matmul precision).
+    """
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
+    hop = nperseg - noverlap
+    assert stft_mag_supported(nperseg, noverlap), (nperseg, noverlap)
+    fpg = 128 // math.gcd(hop, 128)
+    group = hop * fpg
+    n_bins = nperseg // 2
+
+    half = nperseg // 2
+    n2 = n + 2 * half
+    rem = (-(n2 - nperseg)) % hop
+    t_frames = (n2 + rem - nperseg) // hop  # last frame already cut
+    g = -(-t_frames // fpg)
+    gt = g if interpret else _pick_gt(g, block_groups)
+    g_pad = -(-g // gt) * gt
+
+    tables, head, wrows, offs = _shifted_dft_tables(nperseg, hop, fpg, n_bins)
+    starts = tuple(hop * df - off for df, off in zip(range(fpg), offs))
+    cdt = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+    w = jnp.asarray(tables, cdt)
+    wh = jnp.asarray(head, cdt)
+
+    # one fused pad+cast: scipy zero boundary + tail padding. The tiled path
+    # pads 8 extra group rows (not 1) so every Element tile's 8-row overlap
+    # stays in-bounds with an 8-aligned start (Mosaic window constraint).
+    over = 1 if (interpret or g_pad == gt) else 8
+    npad = (g_pad + over) * group
+    xp = jnp.pad(x.reshape(rows, n).astype(cdt), ((0, 0), (half, npad - n - half)))
+    xv = xp.reshape(rows, g_pad + over, group)
+
+    grid = (rows, g_pad // gt)
+    kern = functools.partial(
+        _stft_kernel, fpg=fpg, wrows=wrows, starts=starts, n_bins=n_bins, gt=gt
+    )
+    wspec = pl.BlockSpec(w.shape, lambda r, gi: (0,) * w.ndim, memory_space=pltpu.VMEM)
+    whspec = pl.BlockSpec(wh.shape, lambda r, gi: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (1, gt * fpg, n_bins), lambda r, gi: (r, gi, 0), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * rows * g_pad * fpg * wrows * 2 * n_bins,
+        bytes_accessed=(rows * npad + rows * g_pad * fpg * n_bins) * 2,
+        transcendentals=0,
+    )
+    if interpret or g_pad == gt:
+        # single G-tile: plain Blocked specs (Element indexing is unsupported
+        # in interpret mode; small inputs never need tiling anyway)
+        out = pl.pallas_call(
+            kern,
+            grid=(rows, 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, g_pad + 1, group), lambda r, gi: (r, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                wspec, whspec,
+            ],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xv, w, wh)
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    # overlapping (Gt+8)-group tiles: group row Gt of tile i is
+                    # group row 0 of tile i+1 (the cross-group frame spillover);
+                    # rows Gt+1..Gt+7 are alignment padding the kernel ignores
+                    (pl.Element(1), pl.Element(gt + 8), pl.Element(group)),
+                    lambda r, gi: (r, gi * gt, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                wspec, whspec,
+            ],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype),
+            cost_estimate=cost,
+        )(xv, w, wh)
+    return out[:, :t_frames].reshape(*lead, t_frames, n_bins)

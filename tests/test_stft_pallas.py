@@ -1,0 +1,72 @@
+"""Parity tests for the fused Pallas STFT-magnitude kernel.
+
+Oracle: scipy.signal.stft via the features.py fft path (itself pinned to
+scipy in tests/test_features.py), i.e. the reference featurizer semantics
+(reference utility_functions.py:129-155)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seld_tpu.data.features import spectrum_fast
+from seld_tpu.ops.pallas.stft import stft_mag_pallas, stft_mag_supported
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize(
+    "n,nperseg,noverlap",
+    [
+        (32000, 512, 112),   # canonical L3DAS21 hop 400
+        (32000 * 3, 512, 112),
+        (12345, 512, 112),   # tail-pad path
+        (8000, 256, 56),     # hop 200 -> 16 frames/group
+        (16000, 512, 128),   # hop 384 -> lane-aligned, fpg=2... exercises gcd
+    ],
+)
+def test_stft_mag_matches_scipy_path(rng, n, nperseg, noverlap):
+    if not stft_mag_supported(nperseg, noverlap):
+        pytest.skip("shape outside kernel support envelope")
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    ref = spectrum_fast(
+        jnp.asarray(x), nperseg=nperseg, noverlap=noverlap,
+        output_phase=False, method="fft", return_layout="CTF",
+    )  # (C, T, F)
+    out = stft_mag_pallas(
+        jnp.asarray(x), nperseg=nperseg, noverlap=noverlap,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_stft_mag_batched_layout(rng):
+    """(B, C, n) input -> (B, C, T, F), matching spectrum_fast CTF."""
+    x = rng.standard_normal((2, 3, 24000)).astype(np.float32)
+    ref = spectrum_fast(
+        jnp.asarray(x), nperseg=512, noverlap=112,
+        output_phase=False, method="fft", return_layout="CTF",
+    )
+    out = stft_mag_pallas(jnp.asarray(x), out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_stft_mag_bf16_close(rng):
+    """bf16 table/audio mode (the serving arithmetic) stays within bf16
+    tolerance of the f32 oracle."""
+    x = rng.standard_normal((1, 32000)).astype(np.float32)
+    ref = np.asarray(
+        spectrum_fast(
+            jnp.asarray(x), nperseg=512, noverlap=112,
+            output_phase=False, method="fft", return_layout="CTF",
+        )
+    )
+    out = np.asarray(
+        stft_mag_pallas(jnp.asarray(x), out_dtype=jnp.bfloat16, interpret=True)
+    ).astype(np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=2e-2 * scale)

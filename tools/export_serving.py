@@ -40,14 +40,21 @@ def build_pipeline(cfg, model, impl: str):
     if impl == "fused":
         from seld_tpu.models.fused_infer import fused_infer
 
+        from seld_tpu.ops.pallas.stft import stft_mag_pallas, stft_mag_supported
+
         def pipeline(variables, audio):
             with jax.default_matmul_precision(precision):
-                feats = jax.vmap(
-                    lambda a: spectrum_fast(
-                        a, nperseg=512, noverlap=112, output_phase=cfg.phase,
-                        method="conv", return_layout="CTF",
+                if not cfg.phase and stft_mag_supported(512, 112):
+                    feats = stft_mag_pallas(
+                        audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
                     )
-                )(audio)
+                else:
+                    feats = jax.vmap(
+                        lambda a: spectrum_fast(
+                            a, nperseg=512, noverlap=112, output_phase=cfg.phase,
+                            method="conv", return_layout="CTF",
+                        )
+                    )(audio)
                 return fused_infer(model, variables, feats, input_layout="BCTF")
     else:
         def pipeline(variables, audio):

@@ -55,12 +55,11 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
 
     @jax.jit
     def pipeline(variables, audio):
-        feats = jax.vmap(
-            lambda a: spectrum_fast(
-                a, nperseg=512, noverlap=112, output_phase=False,
-                method="conv", return_layout="CTF",
-            )
-        )(audio)
+        from seld_tpu.ops.pallas.stft import stft_mag_pallas
+
+        feats = stft_mag_pallas(
+            audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
+        )
         return fused_infer(model, variables, feats, input_layout="BCTF")
 
     return lambda: pipeline(variables, audio)
