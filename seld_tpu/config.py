@@ -165,6 +165,7 @@ class SELDConfig:
     mesh_model: int = 1                   # model-parallel mesh axis size
     use_remat: bool = True                # rematerialize ResBlock activations in training
     frontend_bands: int = 0               # >1: banded eval-time CNN stage 1 (serving memory cap)
+    frontend_impl: str = "auto"           # 'auto' | 'pallas' | 'pallas-interpret' | 'xla': fused train-mode stage 1
 
     # ------------------------------------------------------------------
     _BOOL_FIELDS = frozenset({

@@ -61,4 +61,5 @@ def model_from_config(cfg) -> SELDModel:
         compute_dtype=cfg.compute_dtype,
         remat=cfg.use_remat,
         frontend_bands=cfg.frontend_bands,
+        frontend_impl=cfg.frontend_impl,
     )

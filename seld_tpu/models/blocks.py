@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -203,7 +204,12 @@ class _StatsBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, mean, var, update_running: bool = False):
+    def __call__(self, x, mean, var, update_running: bool = False,
+                 return_params: bool = False):
+        """``return_params=True`` declares the variables and returns the raw
+        (scale, bias) parameters instead of normalizing — the fused Pallas
+        train-mode front-end feeds them into its kernel and routes their
+        gradients through its custom VJP (ops/pallas/conv2d_train.py)."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -213,6 +219,8 @@ class _StatsBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        if return_params:
+            return scale, bias
         if update_running and not self.is_initializing():
             ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -354,6 +362,65 @@ class ConvTCBlock(nn.Module):
     dtype: str = "float32"
     remat: bool = False
     frontend_bands: int = 0  # >1: banded eval-time first stage (memory cap)
+    # 'auto' | 'pallas' | 'pallas-interpret' | 'xla': train-mode stage-1
+    # fused conv+BN+ReLU+pool kernel (ops/pallas/conv2d_train.py). 'auto'
+    # resolves to the kernel on TPU when the structural conditions hold.
+    frontend_impl: str = "auto"
+
+    def _fused_train_ok(self, x, pool) -> bool:
+        """Structural conditions under which stage 0 in training can run the
+        fused Pallas kernel (matching the serving smallcin constraints plus
+        the train op's bias-free/BN-on shape contract)."""
+        if self.frontend_impl == "xla":
+            return False
+        if self.frontend_impl == "auto" and jax.default_backend() != "tpu":
+            return False
+        cin = x.shape[-1]
+        return (
+            self.kernel_size_cnn_blocks == 3
+            and not self.use_bias
+            and self.batch_norm in _BN_ON_CNN
+            and not self.use_se_block
+            and 3 * cin <= 32
+            and pool[1] == 1
+            and x.shape[1] % pool[0] == 0
+        )
+
+    def _cnn_stage_fused_train(self, x, i: int, c: int, pool):
+        """Train-mode stage 0 through the fused Pallas kernel: conv + batch
+        stats + BN + ReLU + freq-pool in three tile passes, never
+        materializing the un-pooled (B, F, T, C) activation in forward OR
+        backward (custom VJP for dW/dgamma/dbeta; stage-1's input needs no
+        gradient). Parameter/variable paths are identical to the direct
+        stage (``cnn_{i}``, ``cnn_bn_{i}``), so checkpoints are
+        interchangeable. ~150 ms/step of the 270 ms flagship b8 train step
+        orbits this activation (BENCH.md round-3 trace)."""
+        from seld_tpu.ops.pallas.conv2d_train import (
+            conv2d_smallcin_bn_relu_fpool_train,
+        )
+
+        conv = make_conv(
+            self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
+            use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
+        )
+        w = conv(x, return_dense_kernel=True)  # (3, 3, cin, cout), grads flow
+        bn = _StatsBatchNorm(name=f"cnn_bn_{i}")
+        gamma, beta = bn(
+            jnp.zeros((1, 1, 1, c), x.dtype), None, None, return_params=True
+        )
+        out, mean, var = conv2d_smallcin_bn_relu_fpool_train(
+            x, w, gamma, beta, pool[0],
+            interpret=self.frontend_impl == "pallas-interpret",
+        )
+        # running-stats update through the shared BN variables (output of the
+        # dummy call discarded; stats are stop-gradiented by the op's VJP,
+        # which ignores their cotangents — stop again for clarity)
+        bn(
+            jnp.zeros((1, 1, 1, c), x.dtype),
+            jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
+            update_running=True,
+        )
+        return nn.Dropout(self.dropout_perc)(out, deterministic=False)
 
     def _cnn_stage(self, x, i: int, c: int, pool, train: bool, freq_halo: bool = False):
         """One front-end stage. With ``freq_halo`` the input carries a 1-row
@@ -428,7 +495,9 @@ class ConvTCBlock(nn.Module):
         )
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
-            if (
+            if i == 0 and train and self._fused_train_ok(x, pool):
+                x = self._cnn_stage_fused_train(x, i, c, pool)
+            elif (
                 i == 0 and self.frontend_bands > 1
                 and pool[1] == 1 and not self.use_se_block
             ):

@@ -54,10 +54,16 @@ class HamiltonConv(nn.Module):
     quaternion_format: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_dense_kernel: bool = False):
+        """``return_dense_kernel=True`` creates the parameters as usual but
+        returns the assembled dense (*k, Cin, Cout) kernel (in ``dtype``)
+        instead of convolving — the fused train-mode front-end
+        (models/blocks.py) consumes the dense kernel directly; gradients
+        flow back through the Hamilton assembly."""
         cin = x.shape[-1]
         n = self.n_components
         if self.rotation:
+            assert not return_dense_kernel, "rotation convs have no dense form"
             return self._rotation_call(x, cin)
         if cin % n or self.features % n:
             raise ValueError(
@@ -79,6 +85,14 @@ class HamiltonConv(nn.Module):
         xd = x.astype(dtype)
         wd = w.astype(dtype)
         bd = None if b is None else b.astype(dtype)
+        if return_dense_kernel:
+            assert bd is None, "dense-kernel mode is for the bias-free front-end"
+            from seld_tpu.ops.hamilton import (
+                assemble_dq_conv_kernel, assemble_q_kernel,
+            )
+
+            assemble = assemble_q_kernel if n == 4 else assemble_dq_conv_kernel
+            return assemble(wd)
         pointwise = all(kk == 1 for kk in k) and _ntuple(self.stride, self.ndim) == (1,) * self.ndim
         if self.impl == "pallas" and pointwise:
             from seld_tpu.ops.pallas.qmatmul import pallas_dq_linear, pallas_q_linear
@@ -244,7 +258,7 @@ class RealConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_dense_kernel: bool = False):
         k = _ntuple(self.kernel_size, self.ndim)
         cin = x.shape[-1]
         w = self.param(
@@ -252,6 +266,9 @@ class RealConv(nn.Module):
         )
         b = self.param("b", nn.initializers.zeros, (self.features,)) if self.use_bias else None
         dtype = self.dtype or x.dtype
+        if return_dense_kernel:
+            assert b is None, "dense-kernel mode is for the bias-free front-end"
+            return w.astype(dtype)
         return conv_nd(
             x.astype(dtype),
             w.astype(dtype),

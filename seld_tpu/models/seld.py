@@ -92,6 +92,7 @@ class SELDModel(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     frontend_bands: int = 0
+    frontend_impl: str = "auto"  # train-mode stage-1 kernel (blocks.ConvTCBlock)
 
     @property
     def classifier_domain(self) -> str:
@@ -120,7 +121,8 @@ class SELDModel(nn.Module):
             use_bias=self.use_bias_conv, batch_norm=self.batch_norm,
             use_se_block=self.use_se_block, attention_impl=self.attention_impl,
             qconv_impl=self.qconv_impl, dtype=self.compute_dtype,
-            remat=self.remat, frontend_bands=self.frontend_bands, name=name,
+            remat=self.remat, frontend_bands=self.frontend_bands,
+            frontend_impl=self.frontend_impl, name=name,
         )
 
     @nn.compact

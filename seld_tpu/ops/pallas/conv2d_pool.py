@@ -197,6 +197,112 @@ def _smallcin_kernel_win(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def smallcin_meta(
+    b: int, f: int, t: int, cin: int, cout: int,
+    block_t: int = 2560, force_tt: int | None = None,
+):
+    """Static tiling metadata shared by :func:`smallcin_pack` and the train
+    op's custom-VJP closure (which must derive it from shapes alone)."""
+    assert 3 * cin <= 32, f"smallcin kernel needs 3*cin <= 32, got cin={cin}"
+    kg = 16 if 3 * cin <= 16 else 32  # sublane-tile-aligned (dx, c) group
+    if force_tt is not None:
+        # caller-chosen tile (multiple of 128); tpad rounds UP to it so the
+        # grid always divides — a few extra zero columns of conv work
+        assert force_tt % 128 == 0, force_tt
+        tt = min(force_tt, -(-(t + 1) // 128) * 128)
+        tpad = -(-(t + 1) // tt) * tt
+    else:
+        tpad = -(-(t + 1) // 128) * 128
+        units = tpad // 128
+        tt = 128 * max(
+            u for u in range(1, units + 1) if units % u == 0 and 128 * u <= block_t
+        )
+    return (b, f, t, cin, cout, kg, tpad, tt)
+
+
+def smallcin_pack(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    block_t: int = 2560,
+    pre_transposed: bool = False,
+    force_tt: int | None = None,
+):
+    """Shared packer for the smallcin kernels (serving fwd + train fwd/bwd).
+
+    x (B, F, T, Cin) — or (B, F, Cin, T) with ``pre_transposed`` — and
+    w (3, 3, Cin, Cout) become:
+      p0 (B, F+2, kg, tpad): F conv halo rows, kg sublanes holding the 3
+        time-shifted copies of the Cin channels (zero-padded to the
+        sublane-tile multiple), time zero-padded to a 128 multiple;
+      wk (Cout, 3*kg): weight rows matching the (dy, (dx, c)) stack order.
+    Returns (p0, wk, meta) with meta = (b, f, t, cin, cout, kg, tpad, tt).
+    """
+    if pre_transposed:
+        b, f, cin, t = x.shape
+    else:
+        b, f, t, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    b, f, t, cin, cout, kg, tpad, tt = smallcin_meta(
+        b, f, t, cin, cout, block_t=block_t, force_tt=force_tt
+    )
+
+    # (B, F, T, C) -> (B, F+2, C, T): channel-on-sublane, F conv halo
+    xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
+    xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # three time-shifted copies: shifted_dx[t'] = x[t' + dx - 1]
+    sh = [
+        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (1, tpad - t - 1))),
+        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, tpad - t))),
+        jnp.pad(xt[..., 1:], ((0, 0), (0, 0), (0, 0), (0, tpad - t + 1))),
+    ]
+    if kg > 3 * cin:
+        sh.append(jnp.zeros((b, f + 2, kg - 3 * cin, tpad), x.dtype))
+    p0 = jnp.concatenate(sh, axis=2)  # (B, F+2, kg, tpad)
+
+    # weight rows match the (dy, (dx, c) zero-padded) stack order
+    wt = jnp.pad(w.reshape(3, 3 * cin, cout), ((0, 0), (0, kg - 3 * cin), (0, 0)))
+    wk = wt.reshape(3 * kg, cout).T  # (cout, 3*kg)
+    return p0, wk, (b, f, t, cin, cout, kg, tpad, tt)
+
+
+def smallcin_unpack_dw(dwk: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """(Cout, 3*kg) weight-gradient accumulator -> dense (3, 3, cin, cout),
+    inverting the :func:`smallcin_pack` wk construction exactly."""
+    cout, k3 = dwk.shape
+    kg = k3 // 3
+    wt = dwk.T.reshape(3, kg, cout)[:, : 3 * cin]  # drop zero-pad rows
+    return wt.reshape(3, 3, cin, cout)
+
+
+def smallcin_window_spec(pf: int, kg: int, tt: int):
+    """Element-indexed overlapping (pf+2)-row F-window over p0 — the real-TPU
+    input spec (Element indexing isn't supported by the interpreter)."""
+    return pl.BlockSpec(
+        # mixed Element/Blocked dims are rejected — every dim is
+        # Element-indexed, so the index_map returns ELEMENT
+        # starts (lane starts stay 128-aligned: tt | 128)
+        (pl.Element(1), pl.Element(pf + 2), pl.Element(kg), pl.Element(tt)),
+        lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def smallcin_bands_stack(p0: jnp.ndarray, pf: int) -> jnp.ndarray:
+    """Interpret-mode fallback: materialize the overlapping F-windows as a
+    stacked (B, F//pf, pf+2, kg, tpad) tensor."""
+    f = p0.shape[1] - 2
+    return jnp.stack([p0[:, i * pf : i * pf + pf + 2] for i in range(f // pf)], axis=1)
+
+
+def smallcin_bands_spec(pf: int, kg: int, tt: int):
+    return pl.BlockSpec(
+        (1, 1, pf + 2, kg, tt),
+        lambda b, fo, ti: (b, fo, 0, 0, ti),
+        memory_space=pltpu.VMEM,
+    )
+
+
 def conv2d_smallcin_bn_relu_fpool(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -224,36 +330,10 @@ def conv2d_smallcin_bn_relu_fpool(
     one K=3*kg dot per pool row and max-reduces — conv, BN affine, ReLU and
     the frequency pool all fused, output written once.
     """
-    if pre_transposed:
-        b, f, cin, t = x.shape
-    else:
-        b, f, t, cin = x.shape
-    cout = w.shape[-1]
-    assert w.shape[:3] == (3, 3, cin), w.shape
-    assert 3 * cin <= 32, f"smallcin kernel needs 3*cin <= 32, got cin={cin}"
+    p0, wk, (b, f, t, cin, cout, kg, tpad, tt) = smallcin_pack(
+        x, w, block_t=block_t, pre_transposed=pre_transposed
+    )
     assert f % pool_f == 0, (f, pool_f)
-    kg = 16 if 3 * cin <= 16 else 32  # sublane-tile-aligned (dx, c) group
-    tpad = -(-(t + 1) // 128) * 128
-    units = tpad // 128
-    tt = 128 * max(u for u in range(1, units + 1) if units % u == 0 and 128 * u <= block_t)
-
-    # (B, F, T, C) -> (B, F+2, C, T): channel-on-sublane, F conv halo
-    xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
-    xt = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    # three time-shifted copies: shifted_dx[t'] = x[t' + dx - 1]
-    sh = [
-        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (1, tpad - t - 1))),
-        jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, tpad - t))),
-        jnp.pad(xt[..., 1:], ((0, 0), (0, 0), (0, 0), (0, tpad - t + 1))),
-    ]
-    if kg > 3 * cin:
-        sh.append(jnp.zeros((b, f + 2, kg - 3 * cin, tpad), x.dtype))
-    p0 = jnp.concatenate(sh, axis=2)  # (B, F+2, kg, tpad)
-
-    # weight rows match the (dy, (dx, c) zero-padded) stack order
-    wt = jnp.pad(w.reshape(3, 3 * cin, cout), ((0, 0), (0, kg - 3 * cin), (0, 0)))
-    wk = wt.reshape(3 * kg, cout).T  # (cout, 3*kg)
-
     pf = pool_f
     grid = (b, f // pf, tpad // tt)
     args = (
@@ -285,36 +365,17 @@ def conv2d_smallcin_bn_relu_fpool(
         out = pl.pallas_call(
             functools.partial(_smallcin_kernel_win, pf=pf, kg=kg),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    # mixed Element/Blocked dims are rejected — every dim is
-                    # Element-indexed, so the index_map returns ELEMENT
-                    # starts (lane starts stay 128-aligned: tt | 128)
-                    (pl.Element(1), pl.Element(pf + 2), pl.Element(kg), pl.Element(tt)),
-                    lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
-                    memory_space=pltpu.VMEM,
-                ),
-                *tail_specs,
-            ],
+            in_specs=[smallcin_window_spec(pf, kg, tt), *tail_specs],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
             cost_estimate=cost,
         )(p0, *args)
     else:
-        bands = jnp.stack(
-            [p0[:, i * pf : i * pf + pf + 2] for i in range(f // pf)], axis=1
-        )  # (B, F//pf, pf+2, kg, tpad)
+        bands = smallcin_bands_stack(p0, pf)  # (B, F//pf, pf+2, kg, tpad)
         out = pl.pallas_call(
             functools.partial(_smallcin_kernel, pf=pf, kg=kg),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, pf + 2, kg, tt),
-                    lambda b, fo, ti: (b, fo, 0, 0, ti),
-                    memory_space=pltpu.VMEM,
-                ),
-                *tail_specs,
-            ],
+            in_specs=[smallcin_bands_spec(pf, kg, tt), *tail_specs],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
             cost_estimate=cost,

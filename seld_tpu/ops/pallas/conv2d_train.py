@@ -1,0 +1,385 @@
+"""Fused TRAIN-mode conv2d(3x3) + BatchNorm + ReLU + freq-maxpool for the
+CNN front-end's small-Cin first stage, with a hand-derived custom VJP.
+
+Round-3 motivation (BENCH.md real-TPU train trace, b8 bf16): ~150 ms of the
+270 ms flagship train step is the un-pooled stage-1 activation — the XLA
+conv runs at 22.7 TFLOP/s (tiny K=8), then ~56 ms of layout copies, ~28 ms
+of BatchNorm elementwise, ~20 ms of BN stat reductions, and a 12 ms
+select-and-scatter pool backward all stream the (B, 256, 4800, 192) tensor
+through HBM repeatedly. The serving smallcin kernel already eliminates this
+for inference (ops/pallas/conv2d_pool.py); this module is its training
+counterpart: the full-resolution activation is NEVER materialized in either
+the forward or the backward pass — it is recomputed tile-by-tile in VMEM
+(the conv is MXU-cheap: ~34 GFLOP/pass at b8, ~6 recomputed passes total).
+
+Structure (all passes reuse the serving packer's channel-on-sublane p0
+layout, packed ONCE and saved as the sole large residual):
+
+  forward:
+    pass F1  _stats_kernel     conv -> per-channel sum / sum-of-squares
+                               (grid-accumulated (cout, 1) outputs)
+    [XLA]                      mean/var, BN affine scale/bias (tiny)
+    pass F2  serving kernel    conv + affine + ReLU + freq-pool -> out
+
+  backward (stage 1's input is the data — no dx needed, so the VJP is
+  only dW, dgamma, dbeta):
+    pass B1  _bwd_stats_kernel recompute conv/xhat, route the pooled
+                               cotangent through argmax+ReLU masks,
+                               accumulate S_g = sum(g_pre) (= dbeta) and
+                               S_gx = sum(g_pre * xhat) (= dgamma)
+    pass B2  _bwd_dw_kernel    recompute again, apply the batch-stats BN
+                               backward g_z = scale*(g_pre - S_g/N -
+                               xhat*S_gx/N), accumulate
+                               dWk += g_z @ stack^T per pool row
+
+Reference semantics reproduced: the stage composition at
+/root/reference/model.py:261-287 (Conv -> BatchNorm2d -> ReLU -> MaxPool2d)
+with torch/flax batch statistics (biased variance, mean-of-squares form) and
+reduce_window's first-match maxpool tie-routing (window order = increasing
+frequency row). Max-row routing recomputes the conv twice per backward pass;
+the two recomputations are bitwise identical (same ops, same order), so the
+equality-based first-match selection is exact.
+
+Gradient accumulation across the sequential TPU grid uses constant-index
+output blocks (zero-initialized at the first grid step) — the revisited
+block lives in VMEM for the whole grid and is written back once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seld_tpu.ops.pallas.conv2d_pool import (
+    _smallcin_kernel,
+    _smallcin_kernel_win,
+    smallcin_bands_spec,
+    smallcin_bands_stack,
+    smallcin_meta,
+    smallcin_pack,
+    smallcin_unpack_dw,
+    smallcin_window_spec,
+)
+
+# backward tiles hold several live (cout, tt) f32 temporaries (running max,
+# taken mask, acc, routed grad) — use a narrower time block than serving's
+# forward so they fit in the 16 MB scoped-VMEM stack (1280 measured 17.6 MB
+# at cout=192; 1024 = 16.08 MB, 896 = 17.4 MB for the dw pass — the
+# unrolled pf-row loops keep several iterations' temps live. 640 fits with
+# margin and keeps tpad=5120 at t=4800, same as 1024 — zero extra padding)
+_BWD_BLOCK_T = 640
+
+
+def _conv_row(p_ref, w_ref, r, kg, stacked, precision):
+    """Recompute the conv output for pool row ``r``: (cout, tt) f32."""
+    block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
+    stack = block.reshape(3 * kg, -1)
+    return jax.lax.dot_general(
+        w_ref[...], stack, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _first_step():
+    return (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+
+def _valid_mask(tt: int, t: int):
+    """(1, tt) mask of time columns < t — the pack's tpad columns include one
+    column of dx-tap leakage at index t (sh[0] holds x[t-1] there), which
+    must not enter the stats sums."""
+    col0 = pl.program_id(2) * tt
+    idx = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+    return idx < t
+
+
+def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked, precision):
+    @pl.when(_first_step())
+    def _init():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    mask = _valid_mask(tt, t)
+    s1 = jnp.zeros_like(s1_ref)
+    s2 = jnp.zeros_like(s2_ref)
+    for r in range(pf):
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        acc = jnp.where(mask, acc, 0.0)
+        s1 = s1 + jnp.sum(acc, axis=1, keepdims=True)
+        s2 = s2 + jnp.sum(acc * acc, axis=1, keepdims=True)
+    s1_ref[...] = s1_ref[...] + s1
+    s2_ref[...] = s2_ref[...] + s2
+
+
+def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision):
+    """Yield (r, g_pre_r, acc_r): the pooled cotangent routed through the
+    maxpool's first-match argmax and the ReLU mask. Recomputes the conv
+    twice per row (max-find loop, then route loop) to keep VMEM flat —
+    only the running max and the taken mask stay live across rows."""
+    scale = s_ref[...]
+    bias = b_ref[...]
+    m = None
+    for r in range(pf):
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        y = jnp.maximum(acc * scale + bias, 0.0)
+        m = y if m is None else jnp.maximum(m, y)
+    taken = jnp.zeros(m.shape, jnp.bool_)
+    for r in range(pf):
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        pre = acc * scale + bias
+        y = jnp.maximum(pre, 0.0)
+        hit = (y == m) & (~taken)
+        taken = taken | hit
+        g_pre = jnp.where(hit & (pre > 0.0), g, 0.0)
+        yield r, g_pre, acc
+
+
+def _bwd_stats_kernel(
+    p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, sg_ref, sgx_ref,
+    *, pf, kg, stacked, precision,
+):
+    @pl.when(_first_step())
+    def _init():
+        sg_ref[...] = jnp.zeros_like(sg_ref)
+        sgx_ref[...] = jnp.zeros_like(sgx_ref)
+
+    g = g_ref[0, 0].astype(jnp.float32)
+    sg = jnp.zeros_like(sg_ref)
+    sgx = jnp.zeros_like(sgx_ref)
+    for _r, g_pre, acc in _routed_rows(
+        p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
+        precision=precision,
+    ):
+        xhat = (acc - mu_ref[...]) * iv_ref[...]
+        sg = sg + jnp.sum(g_pre, axis=1, keepdims=True)
+        sgx = sgx + jnp.sum(g_pre * xhat, axis=1, keepdims=True)
+    sg_ref[...] = sg_ref[...] + sg
+    sgx_ref[...] = sgx_ref[...] + sgx
+
+
+def _bwd_dw_kernel(
+    p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, c1_ref, c2_ref, dw_ref,
+    *, pf, kg, tt, t, stacked, precision,
+):
+    @pl.when(_first_step())
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    # the BN-backward correction terms (-c1 - xhat*c2) are nonzero even where
+    # the cotangent is zero — mask padded time columns (they are excluded
+    # from the batch stats, and the pack's column t carries a dx-tap leak)
+    mask = _valid_mask(tt, t)
+    g = g_ref[0, 0].astype(jnp.float32)
+    scale = s_ref[...]
+    dw = jnp.zeros_like(dw_ref)
+    for r, g_pre, acc in _routed_rows(
+        p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
+        precision=precision,
+    ):
+        xhat = (acc - mu_ref[...]) * iv_ref[...]
+        g_z = jnp.where(mask, scale * (g_pre - c1_ref[...] - xhat * c2_ref[...]), 0.0)
+        block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
+        stack = block.reshape(3 * kg, -1)
+        dw = dw + jax.lax.dot_general(
+            g_z.astype(stack.dtype) if stack.dtype == jnp.bfloat16 else g_z,
+            stack, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    dw_ref[...] = dw_ref[...] + dw
+
+
+def _col_spec(cout):
+    return pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _grid_and_specs(meta, pf, tt, interpret):
+    b, f, t, cin, cout, kg, tpad, _tt = meta
+    grid = (b, f // pf, tpad // tt)
+    p_spec = (
+        smallcin_bands_spec(pf, kg, tt) if interpret
+        else smallcin_window_spec(pf, kg, tt)
+    )
+    w_spec = pl.BlockSpec(
+        (cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
+    )
+    return grid, p_spec, w_spec
+
+
+def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
+    b, f, t, cin, cout, kg, tpad, tt = meta
+    grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret)
+
+    s1, s2 = pl.pallas_call(
+        functools.partial(
+            _stats_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
+            precision=precision,
+        ),
+        grid=grid,
+        in_specs=[p_spec, w_spec],
+        out_specs=[_col_spec(cout), _col_spec(cout)],
+        out_shape=[
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * tpad * 3 * kg * cout,
+            bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pin, wk)
+
+    n = b * f * t
+    mean = s1[:, 0] / n
+    # biased variance via mean-of-squares (flax _compute_stats formula)
+    var = jnp.maximum(s2[:, 0] / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = gamma.astype(jnp.float32) * inv
+    bias = beta.astype(jnp.float32) - mean * scale
+
+    # pass F2: the serving kernel body with the batch-stats affine
+    kern = functools.partial(
+        _smallcin_kernel if interpret else _smallcin_kernel_win, pf=pf, kg=kg
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[p_spec, w_spec, _col_spec(cout), _col_spec(cout)],
+        out_specs=pl.BlockSpec(
+            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), p0.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * tpad * 3 * kg * cout,
+            bytes_accessed=(b * f * tpad * kg + b * (f // pf) * tpad * cout)
+            * p0.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pin, wk, scale.reshape(cout, 1), bias.reshape(cout, 1))
+    return out, mean, var, scale, bias, inv
+
+
+def conv2d_smallcin_bn_relu_fpool_train(
+    x, w, gamma, beta, pool_f, eps=1e-5, interpret=False, precision=None
+):
+    """Fused train-mode stage: x (B, F, T, Cin), w (3, 3, Cin, Cout) dense
+    kernel, gamma/beta (Cout,) BN parameters.
+
+    Returns (out, mean, var): out (B, F//pool_f, T, Cout) =
+    maxpool_f(relu(bn_batchstats(conv(x, w)))); mean/var are the biased
+    batch statistics for the caller's running-average update (stop-gradient
+    them there — their cotangents are ignored by the VJP).
+
+    The VJP covers (w, gamma, beta); dx is returned as zeros (stage 1's
+    input is the data pipeline — jax DCEs the unused zero graph).
+    """
+    op = _get_op(
+        tuple(x.shape), jnp.dtype(x.dtype).name, w.shape[-1],
+        pool_f, float(eps), bool(interpret), precision,
+    )
+    return op(x, w, gamma, beta)
+
+
+@functools.lru_cache(maxsize=64)
+def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
+    """Build the custom-VJP op for one static configuration. Static metadata
+    lives in this closure — custom_vjp residuals may only carry arrays."""
+    b, f, t, cin = x_shape
+    meta = smallcin_meta(b, f, t, cin, cout, force_tt=_BWD_BLOCK_T)
+    _, _, _, _, _, kg, tpad, tt = meta
+    pf = pool_f
+    assert f % pf == 0, (f, pf)
+
+    def fwd_impl(x, w, gamma, beta):
+        p0, wk, meta_p = smallcin_pack(x, w, force_tt=_BWD_BLOCK_T)
+        assert meta_p == meta, (meta_p, meta)
+        pin = smallcin_bands_stack(p0, pf) if interpret else p0
+        out_ct, mean, var, scale, bias, inv = _fwd_impl(
+            p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision
+        )
+        out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
+        return (out, mean, var), (p0, wk, mean, inv, scale, bias)
+
+    @jax.custom_vjp
+    def op(x, w, gamma, beta):
+        outs, _ = fwd_impl(x, w, gamma, beta)
+        return outs
+
+    def vjp_bwd(res, cts):
+        g_out, _g_mean, _g_var = cts  # mean/var feed running stats only
+        p0, wk, mean, inv, scale, bias = res
+        grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret)
+        pin = smallcin_bands_stack(p0, pf) if interpret else p0
+
+        # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
+        # time columns carry zero cotangent -> no contribution to the sums
+        gt = jnp.transpose(g_out, (0, 1, 3, 2))
+        gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
+        g_spec = pl.BlockSpec(
+            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
+            memory_space=pltpu.VMEM,
+        )
+
+        col = lambda v: v.astype(jnp.float32).reshape(cout, 1)
+        common = (wk, col(scale), col(bias), col(mean), col(inv))
+        common_specs = [
+            w_spec, _col_spec(cout), _col_spec(cout), _col_spec(cout),
+            _col_spec(cout),
+        ]
+
+        sg, sgx = pl.pallas_call(
+            functools.partial(
+                _bwd_stats_kernel, pf=pf, kg=kg, stacked=interpret,
+                precision=precision,
+            ),
+            grid=grid,
+            in_specs=[p_spec, *common_specs, g_spec],
+            out_specs=[_col_spec(cout), _col_spec(cout)],
+            out_shape=[
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * f * tpad * 3 * kg * cout,
+                bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(pin, *common, gt)
+
+        n = b * f * t
+        dwk = pl.pallas_call(
+            functools.partial(
+                _bwd_dw_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
+                precision=precision,
+            ),
+            grid=grid,
+            in_specs=[p_spec, *common_specs, g_spec, _col_spec(cout), _col_spec(cout)],
+            out_specs=pl.BlockSpec(
+                (cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((cout, 3 * kg), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * b * f * tpad * 3 * kg * cout,
+                bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(pin, *common, gt, sg / n, sgx / n)
+
+        dw = smallcin_unpack_dw(dwk, cin).astype(wk.dtype)
+        dgamma = sgx[:, 0]
+        dbeta = sg[:, 0]
+        dx = jnp.zeros(x_shape, x_dtype)  # input needs no grad (data); DCE'd
+        return dx, dw, dgamma, dbeta
+
+    op.defvjp(fwd_impl, vjp_bwd)
+    return op

@@ -305,6 +305,75 @@ def test_banded_frontend_train_matches_direct(rng):
     )
 
 
+@pytest.mark.parametrize("domain", ["Q", "R"])
+def test_fused_train_frontend_matches_direct(rng, domain):
+    """TRAIN-mode fused Pallas stage 1 (ops/pallas/conv2d_train.py via
+    frontend_impl='pallas-interpret') must match the direct stage: forward
+    output, updated batch_stats AND parameter gradients (stage-1's input
+    carries no gradient in either path — it is the data)."""
+    from seld_tpu.models.blocks import ConvTCBlock
+
+    kw = dict(
+        domain=domain, cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), batch_norm="BN",
+        use_bias=False, attention_impl="full", dropout_perc=0.0,
+        spatial_dropout_rate=0.0,
+    )
+    direct = ConvTCBlock(frontend_impl="xla", **kw)
+    fused = ConvTCBlock(frontend_impl="pallas-interpret", **kw)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    variables = direct.init(jax.random.PRNGKey(0), x, train=False)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def run(model):
+        def loss_fn(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            return jnp.sum(out * out), (out, upd["batch_stats"])
+
+        (loss, (out, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        return out, stats, grads
+
+    out_d, stats_d, grads_d = run(direct)
+    out_f, stats_f, grads_f = run(fused)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d), atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        stats_f, stats_d,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-4
+        ),
+        grads_f, grads_d,
+    )
+
+
+def test_fused_train_frontend_auto_is_xla_on_cpu(rng):
+    """frontend_impl='auto' must resolve to the XLA stage off-TPU (the
+    Pallas kernel only lowers on real TPU hardware)."""
+    from seld_tpu.models.blocks import ConvTCBlock
+
+    model = ConvTCBlock(
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), batch_norm="BN",
+        use_bias=False, attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )[0]
+    assert out.shape[0] == 2  # ran through the XLA path without Pallas
+
+
 def test_fc_relu_head_parity(rng):
     """fc_activations='relu' head variant (reference model.py:442-444)."""
     torch.manual_seed(5)

@@ -82,10 +82,103 @@ def exec_smallcin_vs_xla():
         FAILS.append("smallcin exec-compare")
 
 
+def exec_train_stage_vs_xla():
+    """Execute-and-compare the fused TRAIN-mode stage-1 op (fwd + custom-VJP
+    grads) on the chip against the XLA composition — the real-TPU path uses
+    the Element-window kernels the interpret tests never lower."""
+    from seld_tpu.ops.pallas.conv2d_train import conv2d_smallcin_bn_relu_fpool_train
+
+    rng = np.random.default_rng(3)
+    b, f, t, cin, cout, pf = 2, 32, 640, 8, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(cout).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(cout).astype(np.float32))
+
+    def oracle(x, w, gamma, beta):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2))
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        out = jax.lax.reduce_window(
+            jnp.maximum(yn, 0.0), -jnp.inf, jax.lax.max,
+            (1, pf, 1, 1), (1, pf, 1, 1), "VALID",
+        )
+        return out, mean, var
+
+    def loss(op):
+        def f(w, gamma, beta):
+            out, mean, var = op(x, w, gamma, beta)
+            return jnp.sum(out * jnp.cos(out)), (out, mean, var)
+        return f
+
+    try:
+        fused = lambda x, w, g, bb: conv2d_smallcin_bn_relu_fpool_train(
+            x, w, g, bb, pool_f=pf
+        )
+        (lo, (oo, mo, vo)), go = jax.jit(
+            jax.value_and_grad(loss(oracle), argnums=(0, 1, 2), has_aux=True)
+        )(w, gamma, beta)
+        (lf, (of, mf, vf)), gf = jax.jit(
+            jax.value_and_grad(loss(fused), argnums=(0, 1, 2), has_aux=True)
+        )(w, gamma, beta)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(oo), atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(mf), np.asarray(mo), atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vo), atol=2e-4, rtol=1e-4)
+        for a, b_ in zip(gf, go):
+            # grads accumulate over b*f*t elements — tolerance scales with
+            # the array's magnitude (f32 accumulation-order noise; measured
+            # rel err ~4e-5 on chip)
+            scale = float(np.abs(np.asarray(b_)).max()) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4 * scale
+            )
+        print("OK    train-stage Element-window fwd+VJP EXECUTES == XLA oracle", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  train-stage execute-and-compare: {msg}", flush=True)
+        FAILS.append("train-stage exec-compare")
+
+
+def exec_stft_vs_fft():
+    """Execute-and-compare the fused STFT-magnitude kernel on the chip
+    against the fft-path oracle — the real-TPU path uses Element-indexed
+    overlapping group tiles the interpret tests never lower."""
+    from seld_tpu.data.features import spectrum_fast
+    from seld_tpu.ops.pallas.stft import stft_mag_pallas
+
+    rng = np.random.default_rng(7)
+    # 600 groups at n=1_920_000 would execute the multi-tile grid; use a
+    # smaller-but-still-tiled n: 125 groups -> grid (rows, 2) with gt=120...
+    # keep g_pad % gt exercising both the tiled path and the tail group.
+    x = jnp.asarray(rng.standard_normal((3, 480_000)).astype(np.float32))
+    try:
+        want = np.asarray(
+            spectrum_fast(
+                x, nperseg=512, noverlap=112, output_phase=False,
+                method="fft", return_layout="CTF",
+            )
+        )
+        got = np.asarray(
+            stft_mag_pallas(x, out_dtype=jnp.bfloat16, block_groups=120)
+        ).astype(np.float32)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-2 * scale)
+        print("OK    stft_mag_pallas Element-tile kernel EXECUTES == fft oracle", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  stft execute-and-compare: {msg}", flush=True)
+        FAILS.append("stft exec-compare")
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
 
     from seld_tpu.ops.pallas.attention import flash_attention
+    from seld_tpu.ops.pallas.stft import stft_mag_pallas
     from seld_tpu.ops.pallas.conv2d_pool import (
         conv2d_bn_relu_fpool,
         conv2d_smallcin_bn_relu_fpool,
@@ -140,7 +233,41 @@ def main():
         shaped((384, 384), jnp.int8), shaped((384,), jnp.float32),
     )
 
+    # fused STFT-magnitude kernel at the flagship serving shape:
+    # B=16 clips x 8 ch of 60 s @ 32 kHz -> (128, 4800, 256) bf16
+    check(
+        "stft_mag_pallas (flagship bf16)",
+        lambda x: stft_mag_pallas(x, out_dtype=jnp.bfloat16),
+        shaped((B, 8, 1_920_000), jnp.float32),
+    )
+
+    # fused TRAIN-mode stage 1 (fwd + custom VJP) at the flagship train shape
+    from seld_tpu.ops.pallas.conv2d_train import conv2d_smallcin_bn_relu_fpool_train
+
+    tb = int(os.environ.get("CHECK_TRAIN_BATCH", "8"))
+    check(
+        "conv2d train-stage fwd (flagship b8 bf16)",
+        lambda x, w, g, bb: conv2d_smallcin_bn_relu_fpool_train(
+            x, w, g, bb, pool_f=8
+        )[0],
+        shaped((tb, 256, 4800, 8)), shaped((3, 3, 8, 192)),
+        shaped((192,), jnp.float32), shaped((192,), jnp.float32),
+    )
+    check(
+        "conv2d train-stage grad (flagship b8 bf16)",
+        lambda x, w, g, bb: jax.grad(
+            lambda w, g, bb: conv2d_smallcin_bn_relu_fpool_train(
+                x, w, g, bb, pool_f=8
+            )[0].astype(jnp.float32).sum(),
+            argnums=(0, 1, 2),
+        )(w, g, bb),
+        shaped((tb, 256, 4800, 8)), shaped((3, 3, 8, 192)),
+        shaped((192,), jnp.float32), shaped((192,), jnp.float32),
+    )
+
     exec_smallcin_vs_xla()
+    exec_train_stage_vs_xla()
+    exec_stft_vs_fft()
 
     if FAILS:
         print(f"\n{len(FAILS)} kernel(s) FAILED to lower: {FAILS}")

@@ -35,6 +35,8 @@ def run_point(dtype: str, batch: int, iters: int = 5):
         compute_dtype=dtype,
         attention_impl=os.environ.get("TB_ATTN", "auto"),
         frontend_bands=int(os.environ.get("TB_BANDS", "0")),
+        frontend_impl=os.environ.get("TB_FRONTEND", "auto"),
+        remat=os.environ.get("TB_REMAT", "1") == "1",
     )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
