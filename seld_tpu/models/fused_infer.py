@@ -184,6 +184,13 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout):
     elif input_layout == "BCTF":
         h = jnp.transpose(x, (0, 3, 2, 1)).astype(dtype)  # (B, F, T, C)
         first_pre_transposed = False
+    elif 3 * cin0 <= 32:
+        # BCFT with a smallcin first stage: (B, C, F, T) -> (B, F, C, T) is
+        # a lane-preserving (T stays minor) sublane shuffle — the packer's
+        # channel-on-sublane layout with no full relayout. This is the
+        # handoff the FT-layout Pallas STFT (ops/pallas/stft.py) feeds.
+        h = jnp.transpose(x, (0, 2, 1, 3)).astype(dtype)  # (B, F, C, T)
+        first_pre_transposed = True
     else:
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
         first_pre_transposed = False

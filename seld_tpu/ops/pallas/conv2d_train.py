@@ -70,8 +70,11 @@ from seld_tpu.ops.pallas.conv2d_pool import (
 # forward so they fit in the 16 MB scoped-VMEM stack (1280 measured 17.6 MB
 # at cout=192; 1024 = 16.08 MB, 896 = 17.4 MB for the dw pass — the
 # unrolled pf-row loops keep several iterations' temps live. 640 fits with
-# margin and keeps tpad=5120 at t=4800, same as 1024 — zero extra padding)
-_BWD_BLOCK_T = 640
+# margin and keeps tpad=5120 at t=4800, same as 1024 — zero extra padding).
+# f32 inputs double the p0/cotangent block bytes (the dw pass measured
+# 20.67 MB at tt=640 f32) — shrink to 384 (12.4 MB extrapolated).
+def _bwd_block_t(x_dtype: str) -> int:
+    return 640 if x_dtype == "bfloat16" else 384
 
 
 def _conv_row(p_ref, w_ref, r, kg, stacked, precision):
@@ -293,13 +296,13 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
     """Build the custom-VJP op for one static configuration. Static metadata
     lives in this closure — custom_vjp residuals may only carry arrays."""
     b, f, t, cin = x_shape
-    meta = smallcin_meta(b, f, t, cin, cout, force_tt=_BWD_BLOCK_T)
+    meta = smallcin_meta(b, f, t, cin, cout, force_tt=_bwd_block_t(x_dtype))
     _, _, _, _, _, kg, tpad, tt = meta
     pf = pool_f
     assert f % pf == 0, (f, pf)
 
     def fwd_impl(x, w, gamma, beta):
-        p0, wk, meta_p = smallcin_pack(x, w, force_tt=_BWD_BLOCK_T)
+        p0, wk, meta_p = smallcin_pack(x, w, force_tt=_bwd_block_t(x_dtype))
         assert meta_p == meta, (meta_p, meta)
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
         out_ct, mean, var, scale, bias, inv = _fwd_impl(

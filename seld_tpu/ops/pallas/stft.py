@@ -71,8 +71,15 @@ def _shifted_dft_tables(nperseg: int, hop: int, fpg: int, n_bins: int):
     return tables.astype(np.float32), head.astype(np.float32), wrows, offs
 
 
-def _stft_kernel(x_ref, w_ref, wh_ref, o_ref, *, fpg, wrows, starts, n_bins, gt):
-    """x (Gt+1, group) -> o (Gt*fpg, n_bins) magnitudes.
+def _stft_kernel(
+    x_ref, w_ref, wh_ref, o_ref, *, fpg, wrows, starts, n_bins, gt,
+    transpose_out=False,
+):
+    """x (Gt+1, group) -> o (Gt*fpg, n_bins) magnitudes — or, with
+    ``transpose_out``, o (n_bins, Gt*fpg): one in-VMEM transpose per tile
+    so the consumer (the serving front-end's channel-on-sublane packer)
+    gets frequency-on-sublanes / time-on-lanes without the full-tensor
+    XLA relayout the BCTF handoff paid (BENCH.md round-3 trace).
 
     starts[df]: 128-aligned lane start of frame df's table rows.
     """
@@ -95,21 +102,24 @@ def _stft_kernel(x_ref, w_ref, wh_ref, o_ref, *, fpg, wrows, starts, n_bins, gt)
         re, im = y[:, :n_bins], y[:, n_bins:]
         mags.append(jnp.sqrt(re * re + im * im))
     out = jnp.stack(mags, axis=1)  # (Gt, fpg, F)
-    o_ref[0] = out.reshape(gt * fpg, n_bins).astype(o_ref.dtype)
+    tile = out.reshape(gt * fpg, n_bins).astype(o_ref.dtype)
+    o_ref[0] = jnp.transpose(tile, (1, 0)) if transpose_out else tile
 
 
-def _pick_gt(g: int, block_groups: int) -> int:
+def _pick_gt(g: int, block_groups: int, align: int = 8) -> int:
     """Groups-per-tile for the Element-indexed grid.
 
     Mosaic requires BOTH the overlapping input block's sublane size and its
     per-tile start offset (gi*gt) to be 8-divisible, so gt must be a
     multiple of 8 (the tile overlaps the next 8 group rows; the kernel uses
-    only the first of them). Among candidates pick the one minimizing
-    padded total groups (wasted DFT work), preferring tiles >=48 rows
-    (MXU sublane utilization), tie-breaking toward larger tiles. Falls
-    back to a single full tile when g is too small to tile.
+    only the first of them). The transposed output layout additionally
+    needs the per-tile LANE start (gi*gt*fpg) 128-aligned — ``align``
+    carries that lcm. Among candidates pick the one minimizing padded
+    total groups (wasted DFT work), preferring tiles >=48 rows (MXU
+    sublane utilization), tie-breaking toward larger tiles. Falls back to
+    a single full tile when g is too small to tile.
     """
-    cands = [gt for gt in range(8, min(block_groups, g) + 1, 8)]
+    cands = [gt for gt in range(align, min(block_groups, g) + 1, align)]
     if not cands:
         return g
     big = [gt for gt in cands if gt >= 48] or cands
@@ -137,7 +147,10 @@ def stft_mag_supported(nperseg: int, noverlap: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nperseg", "noverlap", "out_dtype", "interpret", "block_groups"),
+    static_argnames=(
+        "nperseg", "noverlap", "out_dtype", "interpret", "block_groups",
+        "out_layout",
+    ),
 )
 def stft_mag_pallas(
     x: jnp.ndarray,
@@ -146,6 +159,7 @@ def stft_mag_pallas(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     block_groups: int = 120,
+    out_layout: str = "TF",
 ) -> jnp.ndarray:
     """x (..., n) f32 audio -> (..., T, F) STFT magnitudes, scipy semantics.
 
@@ -154,6 +168,12 @@ def stft_mag_pallas(
     output_phase=False)``. The DFT runs on the MXU in bf16 with f32
     accumulation (same arithmetic XLA picks for the conv formulation under
     default matmul precision).
+
+    ``out_layout='FT'`` emits (..., F, T) instead — frequency on sublanes,
+    time on lanes, transposed tile-by-tile inside the kernel. That is the
+    layout the serving front-end's smallcin packer consumes, turning the
+    downstream XLA handoff into a lane-preserving shuffle instead of a
+    full relayout.
     """
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -164,12 +184,16 @@ def stft_mag_pallas(
     group = hop * fpg
     n_bins = nperseg // 2
 
+    assert out_layout in {"TF", "FT"}, out_layout
+    transpose_out = out_layout == "FT"
     half = nperseg // 2
     n2 = n + 2 * half
     rem = (-(n2 - nperseg)) % hop
     t_frames = (n2 + rem - nperseg) // hop  # last frame already cut
     g = -(-t_frames // fpg)
-    gt = g if interpret else _pick_gt(g, block_groups)
+    # FT tiles start at lane gi*gt*fpg, which must be 128-aligned
+    align = math.lcm(8, 128 // math.gcd(fpg, 128)) if transpose_out else 8
+    gt = g if interpret else _pick_gt(g, block_groups, align)
     g_pad = -(-g // gt) * gt
 
     tables, head, wrows, offs = _shifted_dft_tables(nperseg, hop, fpg, n_bins)
@@ -188,13 +212,21 @@ def stft_mag_pallas(
 
     grid = (rows, g_pad // gt)
     kern = functools.partial(
-        _stft_kernel, fpg=fpg, wrows=wrows, starts=starts, n_bins=n_bins, gt=gt
+        _stft_kernel, fpg=fpg, wrows=wrows, starts=starts, n_bins=n_bins, gt=gt,
+        transpose_out=transpose_out,
     )
     wspec = pl.BlockSpec(w.shape, lambda r, gi: (0,) * w.ndim, memory_space=pltpu.VMEM)
     whspec = pl.BlockSpec(wh.shape, lambda r, gi: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec(
-        (1, gt * fpg, n_bins), lambda r, gi: (r, gi, 0), memory_space=pltpu.VMEM
-    )
+    if transpose_out:
+        ospec = pl.BlockSpec(
+            (1, n_bins, gt * fpg), lambda r, gi: (r, 0, gi), memory_space=pltpu.VMEM
+        )
+        oshape = jax.ShapeDtypeStruct((rows, n_bins, g_pad * fpg), out_dtype)
+    else:
+        ospec = pl.BlockSpec(
+            (1, gt * fpg, n_bins), lambda r, gi: (r, gi, 0), memory_space=pltpu.VMEM
+        )
+        oshape = jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype)
     cost = pl.CostEstimate(
         flops=2 * rows * g_pad * fpg * wrows * 2 * n_bins,
         bytes_accessed=(rows * npad + rows * g_pad * fpg * n_bins) * 2,
@@ -214,7 +246,7 @@ def stft_mag_pallas(
                 wspec, whspec,
             ],
             out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype),
+            out_shape=oshape,
             cost_estimate=cost,
             interpret=interpret,
         )(xv, w, wh)
@@ -234,7 +266,9 @@ def stft_mag_pallas(
                 wspec, whspec,
             ],
             out_specs=ospec,
-            out_shape=jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype),
+            out_shape=oshape,
             cost_estimate=cost,
         )(xv, w, wh)
+    if transpose_out:
+        return out[:, :, :t_frames].reshape(*lead, n_bins, t_frames)
     return out[:, :t_frames].reshape(*lead, t_frames, n_bins)

@@ -70,3 +70,43 @@ def test_stft_mag_bf16_close(rng):
     ).astype(np.float32)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out, ref, atol=2e-2 * scale)
+
+
+def test_stft_mag_ft_layout_matches_tf(rng):
+    """out_layout='FT' must be exactly the TF output transposed (the
+    in-kernel tile transpose feeding the serving packer's (B, F, C, T)
+    handoff)."""
+    x = jnp.asarray(rng.standard_normal((3, 32000)).astype(np.float32))
+    tf = stft_mag_pallas(x, out_dtype=jnp.float32, interpret=True)
+    ft = stft_mag_pallas(x, out_dtype=jnp.float32, interpret=True, out_layout="FT")
+    assert ft.shape == (3, tf.shape[2], tf.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(ft), np.asarray(jnp.swapaxes(tf, 1, 2))
+    )
+
+
+def test_fused_infer_bcft_smallcin_pretranspose(rng):
+    """The BCFT smallcin entry (transpose (0,2,1,3) + pre_transposed packer)
+    must match the reference-layout apply path bit-for-bit with the BCTF
+    entry (tests/test_pallas.py pins BCFT vs model.apply already; this pins
+    BCFT == BCTF on identical features)."""
+    import jax
+
+    from seld_tpu.models.fused_infer import fused_infer
+    from seld_tpu.models.seld import SELDModel
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="Q", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    a = fused_infer(model, variables, x, interpret=True, input_layout="BCFT")
+    b = fused_infer(
+        model, variables, jnp.transpose(x, (0, 1, 3, 2)), interpret=True,
+        input_layout="BCTF",
+    )
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-6)

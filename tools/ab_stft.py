@@ -66,24 +66,43 @@ def main():
             input_layout="BCTF",
         )
     )
+    stft_ft_j = jax.jit(
+        lambda a: stft_mag_pallas(
+            a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16, out_layout="FT"
+        )
+    )
+    pipe_ft_j = jax.jit(
+        lambda v, a: fused_infer(
+            model, v,
+            stft_mag_pallas(
+                a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+                out_layout="FT",
+            ),
+            input_layout="BCFT",
+        )
+    )
 
     fns = {
         "noop": lambda: jnp.float32(0.0) * 1.0,
         "stft-conv": lambda: stft_conv_j(audio),
         "stft-pallas": lambda: stft_pal_j(audio),
+        "stft-ft": lambda: stft_ft_j(audio),
         "pipe-conv": lambda: pipe_conv_j(variables, audio),
         "pipe-pallas": lambda: pipe_pal_j(variables, audio),
+        "pipe-ft": lambda: pipe_ft_j(variables, audio),
     }
     for name, fn in fns.items():
         t0 = time.time()
         np.asarray(peek(fn()))
         print(f"compiled {name:12s} in {time.time()-t0:6.1f} s", flush=True)
 
-    # output parity of the two full pipelines (bf16-vs-f32-feats tolerance)
+    # output parity of the full pipelines (bf16-vs-f32-feats tolerance)
     a, b = pipe_conv_j(variables, audio[:2]), pipe_pal_j(variables, audio[:2])
-    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+    c = pipe_ft_j(variables, audio[:2])
+    for x, y, z in zip(*(jax.tree_util.tree_leaves(o) for o in (a, b, c))):
         d = np.abs(np.asarray(x[:2], np.float32) - np.asarray(y[:2], np.float32))
-        print(f"pipe output max|d|={d.max():.3e}", flush=True)
+        dz = np.abs(np.asarray(y[:2], np.float32) - np.asarray(z[:2], np.float32))
+        print(f"pipe output max|d|={d.max():.3e}  ft-vs-tf max|d|={dz.max():.3e}", flush=True)
 
     times = {k: [] for k in fns}
     for _ in range(reps):

@@ -53,10 +53,18 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
         jax.random.PRNGKey(0), x0
     )
 
+    layout = os.environ.get("PT_LAYOUT", "FT")  # FT (serving default) | TF
+
     @jax.jit
     def pipeline(variables, audio):
         from seld_tpu.ops.pallas.stft import stft_mag_pallas
 
+        if layout == "FT":
+            feats = stft_mag_pallas(
+                audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+                out_layout="FT",
+            )
+            return fused_infer(model, variables, feats, input_layout="BCFT")
         feats = stft_mag_pallas(
             audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
         )
