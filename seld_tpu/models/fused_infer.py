@@ -28,7 +28,10 @@ from seld_tpu.models.blocks import dilation_schedule
 from seld_tpu.models.layers import max_pool_2d, max_pool_time
 from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
 from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
-from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+from seld_tpu.ops.pallas.conv2d_pool import (
+    conv2d_smallcin_bn_relu_fpool,
+    conv2d_smallcin_thin_bn_relu_fpool,
+)
 from seld_tpu.ops.quaternion import conv_nd, quaternion_linear
 
 _BN_EPS = 1e-5
@@ -172,7 +175,8 @@ def _make_tail_conv(model, features):
     )
 
 
-def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout):
+def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
+                 smallcin_impl="wide"):
     """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
 
     x: (B, C, F, T) or — ``input_layout='BCTF'`` — (B, C, T, F).
@@ -202,7 +206,15 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout):
         )
         pre_t = first_pre_transposed and i == 0
         cin = h.shape[-2] if pre_t else h.shape[-1]
-        if 3 * cin <= 32:
+        if cin <= 8 and smallcin_impl == "thin":
+            # thin pack: 1/4 the packed bytes; the wide pack's 3x shifted
+            # copy build was the largest op on the b32 serving trace
+            # (24.5 ms, BENCH.md round 3)
+            h = conv2d_smallcin_thin_bn_relu_fpool(
+                h, kernel, scale, bias, pool_f=int(pool[0]),
+                interpret=interpret, pre_transposed=pre_t,
+            )
+        elif 3 * cin <= 32:
             h = conv2d_smallcin_bn_relu_fpool(
                 h, kernel, scale, bias, pool_f=int(pool[0]),
                 interpret=interpret, pre_transposed=pre_t,
@@ -216,7 +228,8 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout):
     return _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
 
 
-def fused_infer(model, variables, x, interpret: bool = False, input_layout: str = "BCFT"):
+def fused_infer(model, variables, x, interpret: bool = False,
+                input_layout: str = "BCFT", smallcin_impl: str = "wide"):
     """(sed, doa) for a SELDModel, Pallas-fused frontend.
 
     Supports the single-trunk configs AND the 2Parallel / parallel_magphase
@@ -263,11 +276,11 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
             [
                 _fused_trunk(
                     model, all_p["branch_A"], all_s.get("branch_A", {}),
-                    x_a, dtype, interpret, input_layout,
+                    x_a, dtype, interpret, input_layout, smallcin_impl,
                 ),
                 _fused_trunk(
                     model, all_p["branch_B"], all_s.get("branch_B", {}),
-                    x_b, dtype, interpret, input_layout,
+                    x_b, dtype, interpret, input_layout, smallcin_impl,
                 ),
             ],
             axis=-1,
@@ -275,7 +288,7 @@ def fused_infer(model, variables, x, interpret: bool = False, input_layout: str 
     else:
         h = _fused_trunk(
             model, all_p["seld_block"], all_s.get("seld_block", {}),
-            x, dtype, interpret, input_layout,
+            x, dtype, interpret, input_layout, smallcin_impl,
         )
 
     cdom = model.classifier_domain

@@ -384,6 +384,161 @@ def conv2d_smallcin_bn_relu_fpool(
     return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
+def smallcin_thin_meta(t: int, block_t: int = 2560):
+    """Lane tiling for the thin pack (no +1 shift-leak column needed)."""
+    tpad = -(-t // 128) * 128
+    units = tpad // 128
+    tt = 128 * max(
+        u for u in range(1, units + 1) if units % u == 0 and 128 * u <= block_t
+    )
+    return tpad, tt
+
+
+def smallcin_thin_pack(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    block_t: int = 2560,
+    pre_transposed: bool = False,
+):
+    """Thin packer: NO time-shift duplication (1/4 of :func:`smallcin_pack`'s
+    bytes — that pack's 3x lane-shifted copy build measured 24.5 ms/b32 on
+    the serving trace, the single largest op). The kernel builds the dx taps
+    itself from a 128-lane halo.
+
+    x (B, F, T, Cin) — or (B, F, Cin, T) with ``pre_transposed`` — and
+    w (3, 3, Cin, Cout) become:
+      pt (B, F+2, 8, 128 + tpad + 128): F conv-halo rows, channels
+        zero-padded to 8 sublanes, 128 zero lanes each side (the kernel's
+        dx-shift halo; doubles as the conv's time zero-pad);
+      wk (Cout, 72): rows ordered (dx, dy, c8) to match the kernel's
+        stack-of-rolled-slices assembly.
+    """
+    if pre_transposed:
+        b, f, cin, t = x.shape
+    else:
+        b, f, t, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    assert cin <= 8, f"thin smallcin pack needs cin <= 8, got {cin}"
+    tpad, tt = smallcin_thin_meta(t, block_t)
+    xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
+    pt = jnp.pad(
+        xt, ((0, 0), (1, 1), (0, 8 - cin), (128, 128 + tpad - t))
+    )  # (B, F+2, 8, 128+tpad+128)
+    wt = jnp.pad(w, ((0, 0), (0, 0), (0, 8 - cin), (0, 0)))  # (dy, dx, c8, o)
+    wk = jnp.transpose(wt, (1, 0, 2, 3)).reshape(72, cout).T  # (o, (dx,dy,c8))
+    return pt, wk, (b, f, t, cin, cout, tpad, tt)
+
+
+def _smallcin_thin_kernel(
+    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False
+):
+    """Thin-pack kernel body: p (1, pf+2, 8, tt+256) — c on sublanes, lane
+    halo 128 each side. Builds the (72, tt) (dx, dy, c8) operand per pool
+    row from three lane-offset value slices (f32 — 8-row-aligned sublane
+    concat; bf16's 16-row tile would misalign the 24-row pieces), casts to
+    the weights' dtype for the MXU dot, and fuses affine+ReLU+freq-pool."""
+    scale = s_ref[...]
+    bias = b_ref[...]
+    out = None
+    for r in range(pf):
+        block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
+        arr = block.astype(jnp.float32).reshape(24, -1)  # (3*8, tt+256)
+        stack = jnp.concatenate(
+            [arr[:, 127 + dx : 127 + dx + tt] for dx in range(3)], axis=0
+        )  # (72, tt), rows (dx, dy, c8)
+        acc = jax.lax.dot_general(
+            w_ref[...], stack.astype(w_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cout, tt)
+        y = jnp.maximum(acc * scale + bias, 0.0)
+        out = y if out is None else jnp.maximum(out, y)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def conv2d_smallcin_thin_bn_relu_fpool(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    pool_f: int,
+    block_t: int = 2560,
+    interpret: bool = False,
+    pre_transposed: bool = False,
+) -> jnp.ndarray:
+    """Same contract as :func:`conv2d_smallcin_bn_relu_fpool`, via the thin
+    pack: 1/4 the packed bytes, dx taps assembled in-kernel (one K=72 MXU
+    dot per pool row, same pass count as the wide pack's K=96)."""
+    pt, wk, (b, f, t, cin, cout, tpad, tt) = smallcin_thin_pack(
+        x, w, block_t=block_t, pre_transposed=pre_transposed
+    )
+    assert f % pool_f == 0, (f, pool_f)
+    pf = pool_f
+    args = (
+        wk,
+        scale.astype(jnp.float32).reshape(cout, 1),
+        bias.astype(jnp.float32).reshape(cout, 1),
+    )
+    tail_specs = [
+        pl.BlockSpec((cout, 72), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * b * f * tpad * 72 * cout,
+        bytes_accessed=(b * f * tpad * 8 + b * (f // pf) * tpad * cout)
+        * x.dtype.itemsize,
+        transcendentals=0,
+    )
+    if not interpret:
+        # overlapping Element windows in BOTH F (pf+2 rows) and lanes
+        # (tt+256: the 128-lane dx halo each side; starts ti*tt stay
+        # 128-aligned because tt | 128)
+        out = pl.pallas_call(
+            functools.partial(_smallcin_thin_kernel, pf=pf, tt=tt),
+            grid=(b, f // pf, tpad // tt),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(1), pl.Element(pf + 2), pl.Element(8),
+                     pl.Element(tt + 256)),
+                    lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+                    memory_space=pltpu.VMEM,
+                ),
+                *tail_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
+            cost_estimate=cost,
+        )(pt, *args)
+    else:
+        # interpreter: no Element windows — one lane tile (tt = tpad) and a
+        # stacked F-band tensor
+        bands = smallcin_bands_stack(pt, pf)  # (B, F//pf, pf+2, 8, 256+tpad)
+        out = pl.pallas_call(
+            functools.partial(_smallcin_thin_kernel, pf=pf, tt=tpad, stacked=True),
+            grid=(b, f // pf, 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, pf + 2, 8, tpad + 256),
+                    lambda b, fo, ti: (b, fo, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *tail_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, cout, tpad), lambda b, fo, ti: (b, fo, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
+            cost_estimate=cost,
+            interpret=True,
+        )(bands, *args)
+    return jnp.transpose(out[..., :t], (0, 1, 3, 2))
+
+
 def conv2d_bn_relu_fpool(
     x: jnp.ndarray,
     w: jnp.ndarray,

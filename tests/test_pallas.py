@@ -378,3 +378,25 @@ def test_flash_attention_large_blocks(rng):
     ref = _attend_full(q, k, v, 0.144, None)
     got = flash_attention(q, k, v, 0.144, block_q=120, block_k=120, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_infer_thin_smallcin_matches_model(rng):
+    """smallcin_impl='thin' (the thin-pack kernel: no dx duplication,
+    in-kernel lane-halo assembly — ops/pallas/conv2d_pool.py) must match
+    model.apply like the wide pack does."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    filters = (8, 16, 16)
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=filters, pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True, smallcin_impl="thin")
+    np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
