@@ -70,7 +70,8 @@ def measure_reference():
     return (60.0 / 3600.0) / total
 
 
-def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1):
+def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
+                smallcin: str = "wide"):
     import jax
     import jax.numpy as jnp
 
@@ -115,7 +116,10 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1):
                 feats = stft_mag_pallas(
                     audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
                 )
-                return fused_infer(model, variables, feats, input_layout="BCTF")
+                return fused_infer(
+                    model, variables, feats, input_layout="BCTF",
+                    smallcin_impl=smallcin,
+                )
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
             )(audio)
@@ -167,6 +171,11 @@ def main():
         "(model.apply with dynamic-act int8 PTQ Hamilton matmuls)",
     )
     ap.add_argument(
+        "--smallcin", type=str, default="wide", choices=["wide", "thin"],
+        help="smallcin stage-1 kernel for the fused path (thin: no dx "
+        "duplication, in-kernel tap assembly — BENCH.md round 3)",
+    )
+    ap.add_argument(
         "--dp", type=int, default=1,
         help="data-parallel serving: shard the batch over a dp-way 'data' "
         "mesh (requires dp visible devices)",
@@ -181,7 +190,9 @@ def main():
         ref = measure_reference()
         print(f"reference audio_hours/sec (torch CPU): {ref:.6f}", file=sys.stderr)
 
-    value, dt = measure_tpu(args.batch, args.iters, args.dtype, args.impl, args.dp)
+    value, dt = measure_tpu(
+        args.batch, args.iters, args.dtype, args.impl, args.dp, args.smallcin
+    )
     print(
         f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "
         f"({value:.3f} audio-hours/sec)",

@@ -81,6 +81,23 @@ def main():
             input_layout="BCFT",
         )
     )
+    pipe_thin_j = jax.jit(
+        lambda v, a: fused_infer(
+            model, v,
+            stft_mag_pallas(a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16),
+            input_layout="BCTF", smallcin_impl="thin",
+        )
+    )
+    pipe_thin_ft_j = jax.jit(
+        lambda v, a: fused_infer(
+            model, v,
+            stft_mag_pallas(
+                a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+                out_layout="FT",
+            ),
+            input_layout="BCFT", smallcin_impl="thin",
+        )
+    )
 
     fns = {
         "noop": lambda: jnp.float32(0.0) * 1.0,
@@ -90,6 +107,8 @@ def main():
         "pipe-conv": lambda: pipe_conv_j(variables, audio),
         "pipe-pallas": lambda: pipe_pal_j(variables, audio),
         "pipe-ft": lambda: pipe_ft_j(variables, audio),
+        "pipe-thin": lambda: pipe_thin_j(variables, audio),
+        "pipe-thin-ft": lambda: pipe_thin_ft_j(variables, audio),
     }
     for name, fn in fns.items():
         t0 = time.time()
@@ -99,10 +118,12 @@ def main():
     # output parity of the full pipelines (bf16-vs-f32-feats tolerance)
     a, b = pipe_conv_j(variables, audio[:2]), pipe_pal_j(variables, audio[:2])
     c = pipe_ft_j(variables, audio[:2])
-    for x, y, z in zip(*(jax.tree_util.tree_leaves(o) for o in (a, b, c))):
+    th = pipe_thin_j(variables, audio[:2])
+    for x, y, z, u in zip(*(jax.tree_util.tree_leaves(o) for o in (a, b, c, th))):
         d = np.abs(np.asarray(x[:2], np.float32) - np.asarray(y[:2], np.float32))
         dz = np.abs(np.asarray(y[:2], np.float32) - np.asarray(z[:2], np.float32))
-        print(f"pipe output max|d|={d.max():.3e}  ft-vs-tf max|d|={dz.max():.3e}", flush=True)
+        du = np.abs(np.asarray(y[:2], np.float32) - np.asarray(u[:2], np.float32))
+        print(f"pipe max|d|={d.max():.3e}  ft-vs-tf={dz.max():.3e}  thin-vs-wide={du.max():.3e}", flush=True)
 
     times = {k: [] for k in fns}
     for _ in range(reps):

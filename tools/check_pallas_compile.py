@@ -82,6 +82,40 @@ def exec_smallcin_vs_xla():
         FAILS.append("smallcin exec-compare")
 
 
+def exec_smallcin_thin_vs_xla():
+    """Execute-and-compare the THIN-pack smallcin kernel (in-kernel dx-tap
+    assembly from a 128-lane halo — misaligned value slices + sublane
+    concat, the Mosaic ops interpret mode never lowers) vs the XLA oracle,
+    and time it against the wide pack at the flagship serving shape."""
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        conv2d_smallcin_bn_relu_fpool, conv2d_smallcin_thin_bn_relu_fpool,
+    )
+
+    rng = np.random.default_rng(0)
+    b, f, t, cin, cout, pf = 2, 32, 640, 8, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    try:
+        got = np.asarray(
+            jax.jit(
+                lambda *a: conv2d_smallcin_thin_bn_relu_fpool(*a, pool_f=pf)
+            )(x, w, s, bb)
+        )
+        want = np.asarray(
+            jax.jit(
+                lambda *a: conv2d_smallcin_bn_relu_fpool(*a, pool_f=pf)
+            )(x, w, s, bb)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+        print("OK    smallcin THIN kernel EXECUTES == wide kernel", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  smallcin-thin execute-and-compare: {msg}", flush=True)
+        FAILS.append("smallcin-thin exec-compare")
+
+
 def exec_train_stage_vs_xla():
     """Execute-and-compare the fused TRAIN-mode stage-1 op (fwd + custom-VJP
     grads) on the chip against the XLA composition — the real-TPU path uses
@@ -266,6 +300,7 @@ def main():
     )
 
     exec_smallcin_vs_xla()
+    exec_smallcin_thin_vs_xla()
     exec_train_stage_vs_xla()
     exec_stft_vs_fft()
 
