@@ -362,9 +362,12 @@ class ConvTCBlock(nn.Module):
     dtype: str = "float32"
     remat: bool = False
     frontend_bands: int = 0  # >1: banded eval-time first stage (memory cap)
-    # 'auto' | 'pallas' | 'pallas-interpret' | 'xla': train-mode stage-1
-    # fused conv+BN+ReLU+pool kernel (ops/pallas/conv2d_train.py). 'auto'
-    # resolves to the kernel on TPU when the structural conditions hold.
+    # 'auto' | 'pallas' | 'pallas-thin' | 'pallas-interpret' |
+    # 'pallas-interpret-thin' | 'xla': train-mode stage-1 fused
+    # conv+BN+ReLU+pool kernel (ops/pallas/conv2d_train.py). 'auto'
+    # resolves to the (wide-pack) kernel on TPU when the structural
+    # conditions hold; the '-thin' spellings select the thin pack
+    # (1/4 the packed bytes, cin <= 8 only).
     frontend_impl: str = "auto"
 
     def _fused_train_ok(self, x, pool) -> bool:
@@ -408,9 +411,11 @@ class ConvTCBlock(nn.Module):
         gamma, beta = bn(
             jnp.zeros((1, 1, 1, c), x.dtype), None, None, return_params=True
         )
+        thin = self.frontend_impl.endswith("-thin") and x.shape[-1] <= 8
         out, mean, var = conv2d_smallcin_bn_relu_fpool_train(
             x, w, gamma, beta, pool[0],
-            interpret=self.frontend_impl == "pallas-interpret",
+            interpret=self.frontend_impl.startswith("pallas-interpret"),
+            pack="thin" if thin else "wide",
         )
         # running-stats update through the shared BN variables (output of the
         # dummy call discarded; stats are stop-gradiented by the op's VJP,

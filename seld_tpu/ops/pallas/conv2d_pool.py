@@ -384,8 +384,16 @@ def conv2d_smallcin_bn_relu_fpool(
     return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
-def smallcin_thin_meta(t: int, block_t: int = 2560):
-    """Lane tiling for the thin pack (no +1 shift-leak column needed)."""
+def smallcin_thin_meta(t: int, block_t: int = 2560, force_tt: int | None = None):
+    """Lane tiling for the thin pack (no +1 shift-leak column needed).
+
+    ``force_tt`` mirrors :func:`smallcin_meta`'s: a caller-chosen 128-multiple
+    tile; tpad rounds UP to it so the grid always divides."""
+    if force_tt is not None:
+        assert force_tt % 128 == 0, force_tt
+        tt = min(force_tt, -(-t // 128) * 128)
+        tpad = -(-t // tt) * tt
+        return tpad, tt
     tpad = -(-t // 128) * 128
     units = tpad // 128
     tt = 128 * max(
@@ -399,6 +407,7 @@ def smallcin_thin_pack(
     w: jnp.ndarray,
     block_t: int = 2560,
     pre_transposed: bool = False,
+    force_tt: int | None = None,
 ):
     """Thin packer: NO time-shift duplication (1/4 of :func:`smallcin_pack`'s
     bytes — that pack's 3x lane-shifted copy build measured 24.5 ms/b32 on
@@ -420,7 +429,7 @@ def smallcin_thin_pack(
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert cin <= 8, f"thin smallcin pack needs cin <= 8, got {cin}"
-    tpad, tt = smallcin_thin_meta(t, block_t)
+    tpad, tt = smallcin_thin_meta(t, block_t, force_tt=force_tt)
     xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
     pt = jnp.pad(
         xt, ((0, 0), (1, 1), (0, 8 - cin), (128, 128 + tpad - t))
@@ -428,6 +437,44 @@ def smallcin_thin_pack(
     wt = jnp.pad(w, ((0, 0), (0, 0), (0, 8 - cin), (0, 0)))  # (dy, dx, c8, o)
     wk = jnp.transpose(wt, (1, 0, 2, 3)).reshape(72, cout).T  # (o, (dx,dy,c8))
     return pt, wk, (b, f, t, cin, cout, tpad, tt)
+
+
+def smallcin_thin_stack(block, tt: int, dtype):
+    """(3, 8, tt+256) halo block -> (72, tt) (dx, dy, c8) stack in ``dtype``.
+
+    f32 for the slice+concat (8-row-aligned sublane pieces; bf16's 16-row
+    tile would misalign the 24-row pieces), cast at the end for the MXU."""
+    arr = block.astype(jnp.float32).reshape(24, -1)  # (3*8, tt+256)
+    stack = jnp.concatenate(
+        [arr[:, 127 + dx : 127 + dx + tt] for dx in range(3)], axis=0
+    )
+    return stack.astype(dtype)
+
+
+def smallcin_thin_unpack_dw(dwk: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """(Cout, 72) thin weight-grad accumulator -> dense (3, 3, cin, cout),
+    inverting smallcin_thin_pack's (dx, dy, c8) wk row order."""
+    cout = dwk.shape[0]
+    wt = dwk.T.reshape(3, 3, 8, cout)  # (dx, dy, c8, cout)
+    return jnp.transpose(wt, (1, 0, 2, 3))[:, :, :cin]
+
+
+def smallcin_thin_window_spec(pf: int, tt: int):
+    """Element-indexed overlapping window over pt: pf+2 F rows, tt+256
+    lanes (the 128-lane dx halo each side; starts ti*tt stay 128-aligned)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(pf + 2), pl.Element(8), pl.Element(tt + 256)),
+        lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def smallcin_thin_bands_spec(pf: int, tpad: int):
+    return pl.BlockSpec(
+        (1, 1, pf + 2, 8, tpad + 256),
+        lambda b, fo, ti: (b, fo, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
 
 def _smallcin_thin_kernel(
@@ -443,12 +490,9 @@ def _smallcin_thin_kernel(
     out = None
     for r in range(pf):
         block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
-        arr = block.astype(jnp.float32).reshape(24, -1)  # (3*8, tt+256)
-        stack = jnp.concatenate(
-            [arr[:, 127 + dx : 127 + dx + tt] for dx in range(3)], axis=0
-        )  # (72, tt), rows (dx, dy, c8)
+        stack = smallcin_thin_stack(block, tt, w_ref.dtype)  # (72, tt)
         acc = jax.lax.dot_general(
-            w_ref[...], stack.astype(w_ref.dtype), (((1,), (0,)), ((), ())),
+            w_ref[...], stack, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (cout, tt)
         y = jnp.maximum(acc * scale + bias, 0.0)
@@ -500,15 +544,7 @@ def conv2d_smallcin_thin_bn_relu_fpool(
         out = pl.pallas_call(
             functools.partial(_smallcin_thin_kernel, pf=pf, tt=tt),
             grid=(b, f // pf, tpad // tt),
-            in_specs=[
-                pl.BlockSpec(
-                    (pl.Element(1), pl.Element(pf + 2), pl.Element(8),
-                     pl.Element(tt + 256)),
-                    lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
-                    memory_space=pltpu.VMEM,
-                ),
-                *tail_specs,
-            ],
+            in_specs=[smallcin_thin_window_spec(pf, tt), *tail_specs],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), x.dtype),
             cost_estimate=cost,
@@ -520,14 +556,7 @@ def conv2d_smallcin_thin_bn_relu_fpool(
         out = pl.pallas_call(
             functools.partial(_smallcin_thin_kernel, pf=pf, tt=tpad, stacked=True),
             grid=(b, f // pf, 1),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, pf + 2, 8, tpad + 256),
-                    lambda b, fo, ti: (b, fo, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                *tail_specs,
-            ],
+            in_specs=[smallcin_thin_bands_spec(pf, tpad), *tail_specs],
             out_specs=pl.BlockSpec(
                 (1, 1, cout, tpad), lambda b, fo, ti: (b, fo, 0, 0),
                 memory_space=pltpu.VMEM,

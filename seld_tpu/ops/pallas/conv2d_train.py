@@ -57,10 +57,17 @@ from jax.experimental.pallas import tpu as pltpu
 from seld_tpu.ops.pallas.conv2d_pool import (
     _smallcin_kernel,
     _smallcin_kernel_win,
+    _smallcin_thin_kernel,
     smallcin_bands_spec,
     smallcin_bands_stack,
     smallcin_meta,
     smallcin_pack,
+    smallcin_thin_bands_spec,
+    smallcin_thin_meta,
+    smallcin_thin_pack,
+    smallcin_thin_stack,
+    smallcin_thin_unpack_dw,
+    smallcin_thin_window_spec,
     smallcin_unpack_dw,
     smallcin_window_spec,
 )
@@ -77,10 +84,19 @@ def _bwd_block_t(x_dtype: str) -> int:
     return 640 if x_dtype == "bfloat16" else 384
 
 
-def _conv_row(p_ref, w_ref, r, kg, stacked, precision):
-    """Recompute the conv output for pool row ``r``: (cout, tt) f32."""
+def _row_stack(p_ref, r, kg, stacked, thin, tt, dtype):
+    """The (K, tt) operand for pool row ``r`` — wide: contiguous reshape of
+    the pre-duplicated kg rows; thin: in-kernel dx-tap assembly from the
+    128-lane halo (smallcin_thin_stack)."""
     block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
-    stack = block.reshape(3 * kg, -1)
+    if thin:
+        return smallcin_thin_stack(block, tt, dtype)
+    return block.reshape(3 * kg, -1)
+
+
+def _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin=False, tt=None):
+    """Recompute the conv output for pool row ``r``: (cout, tt) f32."""
+    stack = _row_stack(p_ref, r, kg, stacked, thin, tt, w_ref.dtype)
     return jax.lax.dot_general(
         w_ref[...], stack, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
@@ -102,7 +118,8 @@ def _valid_mask(tt: int, t: int):
     return idx < t
 
 
-def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked, precision):
+def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked,
+                  precision, thin=False):
     @pl.when(_first_step())
     def _init():
         s1_ref[...] = jnp.zeros_like(s1_ref)
@@ -112,7 +129,7 @@ def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked, preci
     s1 = jnp.zeros_like(s1_ref)
     s2 = jnp.zeros_like(s2_ref)
     for r in range(pf):
-        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
         acc = jnp.where(mask, acc, 0.0)
         s1 = s1 + jnp.sum(acc, axis=1, keepdims=True)
         s2 = s2 + jnp.sum(acc * acc, axis=1, keepdims=True)
@@ -120,7 +137,8 @@ def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked, preci
     s2_ref[...] = s2_ref[...] + s2
 
 
-def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision):
+def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
+                 thin=False, tt=None):
     """Yield (r, g_pre_r, acc_r): the pooled cotangent routed through the
     maxpool's first-match argmax and the ReLU mask. Recomputes the conv
     twice per row (max-find loop, then route loop) to keep VMEM flat —
@@ -129,12 +147,12 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision):
     bias = b_ref[...]
     m = None
     for r in range(pf):
-        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
         y = jnp.maximum(acc * scale + bias, 0.0)
         m = y if m is None else jnp.maximum(m, y)
     taken = jnp.zeros(m.shape, jnp.bool_)
     for r in range(pf):
-        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision)
+        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
         pre = acc * scale + bias
         y = jnp.maximum(pre, 0.0)
         hit = (y == m) & (~taken)
@@ -145,7 +163,7 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision):
 
 def _bwd_stats_kernel(
     p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, sg_ref, sgx_ref,
-    *, pf, kg, stacked, precision,
+    *, pf, kg, stacked, precision, thin=False, tt=None,
 ):
     @pl.when(_first_step())
     def _init():
@@ -157,7 +175,7 @@ def _bwd_stats_kernel(
     sgx = jnp.zeros_like(sgx_ref)
     for _r, g_pre, acc in _routed_rows(
         p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
-        precision=precision,
+        precision=precision, thin=thin, tt=tt,
     ):
         xhat = (acc - mu_ref[...]) * iv_ref[...]
         sg = sg + jnp.sum(g_pre, axis=1, keepdims=True)
@@ -168,7 +186,7 @@ def _bwd_stats_kernel(
 
 def _bwd_dw_kernel(
     p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, c1_ref, c2_ref, dw_ref,
-    *, pf, kg, tt, t, stacked, precision,
+    *, pf, kg, tt, t, stacked, precision, thin=False,
 ):
     @pl.when(_first_step())
     def _init():
@@ -183,12 +201,11 @@ def _bwd_dw_kernel(
     dw = jnp.zeros_like(dw_ref)
     for r, g_pre, acc in _routed_rows(
         p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
-        precision=precision,
+        precision=precision, thin=thin, tt=tt,
     ):
         xhat = (acc - mu_ref[...]) * iv_ref[...]
         g_z = jnp.where(mask, scale * (g_pre - c1_ref[...] - xhat * c2_ref[...]), 0.0)
-        block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
-        stack = block.reshape(3 * kg, -1)
+        stack = _row_stack(p_ref, r, kg, stacked, thin, tt, w_ref.dtype)
         dw = dw + jax.lax.dot_general(
             g_z.astype(stack.dtype) if stack.dtype == jnp.bfloat16 else g_z,
             stack, (((1,), (1,)), ((), ())),
@@ -201,27 +218,38 @@ def _col_spec(cout):
     return pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _grid_and_specs(meta, pf, tt, interpret):
+def _grid_and_specs(meta, pf, tt, interpret, thin=False):
     b, f, t, cin, cout, kg, tpad, _tt = meta
     grid = (b, f // pf, tpad // tt)
-    p_spec = (
-        smallcin_bands_spec(pf, kg, tt) if interpret
-        else smallcin_window_spec(pf, kg, tt)
-    )
+    if thin:
+        p_spec = (
+            smallcin_thin_bands_spec(pf, tpad) if interpret
+            else smallcin_thin_window_spec(pf, tt)
+        )
+        kdim = 72
+    else:
+        p_spec = (
+            smallcin_bands_spec(pf, kg, tt) if interpret
+            else smallcin_window_spec(pf, kg, tt)
+        )
+        kdim = 3 * kg
     w_spec = pl.BlockSpec(
-        (cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
+        (cout, kdim), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
     )
     return grid, p_spec, w_spec
 
 
-def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
+def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
+              thin=False):
     b, f, t, cin, cout, kg, tpad, tt = meta
-    grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret)
+    kd = 72 if thin else 3 * kg       # dot K per pool row (cost model)
+    rows = 8 if thin else kg          # packed sublane rows read per F row
+    grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret, thin)
 
     s1, s2 = pl.pallas_call(
         functools.partial(
             _stats_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
-            precision=precision,
+            precision=precision, thin=thin,
         ),
         grid=grid,
         in_specs=[p_spec, w_spec],
@@ -231,8 +259,8 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
             jax.ShapeDtypeStruct((cout, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * f * tpad * 3 * kg * cout,
-            bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+            flops=2 * b * f * tpad * kd * cout,
+            bytes_accessed=b * f * tpad * rows * p0.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -247,9 +275,14 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
     bias = beta.astype(jnp.float32) - mean * scale
 
     # pass F2: the serving kernel body with the batch-stats affine
-    kern = functools.partial(
-        _smallcin_kernel if interpret else _smallcin_kernel_win, pf=pf, kg=kg
-    )
+    if thin:
+        kern = functools.partial(
+            _smallcin_thin_kernel, pf=pf, tt=tt, stacked=interpret
+        )
+    else:
+        kern = functools.partial(
+            _smallcin_kernel if interpret else _smallcin_kernel_win, pf=pf, kg=kg
+        )
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -260,8 +293,8 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
         ),
         out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), p0.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * f * tpad * 3 * kg * cout,
-            bytes_accessed=(b * f * tpad * kg + b * (f // pf) * tpad * cout)
+            flops=2 * b * f * tpad * kd * cout,
+            bytes_accessed=(b * f * tpad * rows + b * (f // pf) * tpad * cout)
             * p0.dtype.itemsize,
             transcendentals=0,
         ),
@@ -271,7 +304,8 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision):
 
 
 def conv2d_smallcin_bn_relu_fpool_train(
-    x, w, gamma, beta, pool_f, eps=1e-5, interpret=False, precision=None
+    x, w, gamma, beta, pool_f, eps=1e-5, interpret=False, precision=None,
+    pack="wide",
 ):
     """Fused train-mode stage: x (B, F, T, Cin), w (3, 3, Cin, Cout) dense
     kernel, gamma/beta (Cout,) BN parameters.
@@ -283,30 +317,49 @@ def conv2d_smallcin_bn_relu_fpool_train(
 
     The VJP covers (w, gamma, beta); dx is returned as zeros (stage 1's
     input is the data pipeline — jax DCEs the unused zero graph).
+
+    ``pack='thin'`` (cin <= 8 only) uses the thin pack: 1/4 the packed
+    bytes across ALL five kernel passes, dx taps assembled in-kernel.
     """
     op = _get_op(
         tuple(x.shape), jnp.dtype(x.dtype).name, w.shape[-1],
-        pool_f, float(eps), bool(interpret), precision,
+        pool_f, float(eps), bool(interpret), precision, pack,
     )
     return op(x, w, gamma, beta)
 
 
 @functools.lru_cache(maxsize=64)
-def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
+def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
+            pack="wide"):
     """Build the custom-VJP op for one static configuration. Static metadata
     lives in this closure — custom_vjp residuals may only carry arrays."""
     b, f, t, cin = x_shape
-    meta = smallcin_meta(b, f, t, cin, cout, force_tt=_bwd_block_t(x_dtype))
-    _, _, _, _, _, kg, tpad, tt = meta
+    thin = pack == "thin"
+    if thin:
+        assert cin <= 8, f"thin pack needs cin <= 8, got {cin}"
+        tpad, tt = smallcin_thin_meta(t, force_tt=_bwd_block_t(x_dtype))
+        if interpret:
+            tt = tpad  # single lane tile; Blocked specs can't overlap
+        meta = (b, f, t, cin, cout, None, tpad, tt)
+        kg = None
+    else:
+        meta = smallcin_meta(b, f, t, cin, cout, force_tt=_bwd_block_t(x_dtype))
+        _, _, _, _, _, kg, tpad, tt = meta
     pf = pool_f
     assert f % pf == 0, (f, pf)
 
     def fwd_impl(x, w, gamma, beta):
-        p0, wk, meta_p = smallcin_pack(x, w, force_tt=_bwd_block_t(x_dtype))
-        assert meta_p == meta, (meta_p, meta)
+        if thin:
+            p0, wk, _meta_p = smallcin_thin_pack(
+                x, w, force_tt=_bwd_block_t(x_dtype)
+            )
+        else:
+            p0, wk, meta_p = smallcin_pack(x, w, force_tt=_bwd_block_t(x_dtype))
+            assert meta_p == meta, (meta_p, meta)
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
         out_ct, mean, var, scale, bias, inv = _fwd_impl(
-            p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision
+            p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
+            thin=thin,
         )
         out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
         return (out, mean, var), (p0, wk, mean, inv, scale, bias)
@@ -319,7 +372,7 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
     def vjp_bwd(res, cts):
         g_out, _g_mean, _g_var = cts  # mean/var feed running stats only
         p0, wk, mean, inv, scale, bias = res
-        grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret)
+        grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret, thin)
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
 
         # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
@@ -341,7 +394,7 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
         sg, sgx = pl.pallas_call(
             functools.partial(
                 _bwd_stats_kernel, pf=pf, kg=kg, stacked=interpret,
-                precision=precision,
+                precision=precision, thin=thin, tt=tt,
             ),
             grid=grid,
             in_specs=[p_spec, *common_specs, g_spec],
@@ -351,34 +404,40 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision):
                 jax.ShapeDtypeStruct((cout, 1), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=4 * b * f * tpad * 3 * kg * cout,
-                bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+                flops=4 * b * f * tpad * (72 if thin else 3 * kg) * cout,
+                bytes_accessed=b * f * tpad * (8 if thin else kg)
+                * p0.dtype.itemsize,
                 transcendentals=0,
             ),
             interpret=interpret,
         )(pin, *common, gt)
 
         n = b * f * t
+        kdim = 72 if thin else 3 * kg
         dwk = pl.pallas_call(
             functools.partial(
                 _bwd_dw_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
-                precision=precision,
+                precision=precision, thin=thin,
             ),
             grid=grid,
             in_specs=[p_spec, *common_specs, g_spec, _col_spec(cout), _col_spec(cout)],
             out_specs=pl.BlockSpec(
-                (cout, 3 * kg), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
+                (cout, kdim), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((cout, 3 * kg), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((cout, kdim), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=6 * b * f * tpad * 3 * kg * cout,
-                bytes_accessed=b * f * tpad * kg * p0.dtype.itemsize,
+                flops=6 * b * f * tpad * (72 if thin else 3 * kg) * cout,
+                bytes_accessed=b * f * tpad * (8 if thin else kg)
+                * p0.dtype.itemsize,
                 transcendentals=0,
             ),
             interpret=interpret,
         )(pin, *common, gt, sg / n, sgx / n)
 
-        dw = smallcin_unpack_dw(dwk, cin).astype(wk.dtype)
+        dw = (
+            smallcin_thin_unpack_dw(dwk, cin) if thin
+            else smallcin_unpack_dw(dwk, cin)
+        ).astype(wk.dtype)
         dgamma = sgx[:, 0]
         dbeta = sg[:, 0]
         dx = jnp.zeros(x_shape, x_dtype)  # input needs no grad (data); DCE'd

@@ -38,18 +38,20 @@ def case():
     return x, w, gamma, beta, pf
 
 
-def test_forward_matches_oracle(case):
+@pytest.mark.parametrize("pack", ["wide", "thin"])
+def test_forward_matches_oracle(case, pack):
     x, w, gamma, beta, pf = case
     want, wmean, wvar = _oracle(x, w, gamma, beta, pf)
     got, mean, var = conv2d_smallcin_bn_relu_fpool_train(
-        x, w, gamma, beta, pf, 1e-5, True, jax.lax.Precision.HIGHEST
+        x, w, gamma, beta, pf, 1e-5, True, jax.lax.Precision.HIGHEST, pack=pack
     )
     np.testing.assert_allclose(np.asarray(mean), np.asarray(wmean), atol=1e-5)
     np.testing.assert_allclose(np.asarray(var), np.asarray(wvar), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
-def test_grads_match_oracle(case):
+@pytest.mark.parametrize("pack", ["wide", "thin"])
+def test_grads_match_oracle(case, pack):
     x, w, gamma, beta, pf = case
     rng = np.random.default_rng(7)
 
@@ -68,7 +70,8 @@ def test_grads_match_oracle(case):
     g_fused = jax.grad(
         make_loss(
             lambda w_, g_, b_: conv2d_smallcin_bn_relu_fpool_train(
-                x, w_, g_, b_, pf, 1e-5, True, jax.lax.Precision.HIGHEST
+                x, w_, g_, b_, pf, 1e-5, True, jax.lax.Precision.HIGHEST,
+                pack=pack,
             )[0]
         ),
         (0, 1, 2),

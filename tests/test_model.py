@@ -305,8 +305,11 @@ def test_banded_frontend_train_matches_direct(rng):
     )
 
 
-@pytest.mark.parametrize("domain", ["Q", "R"])
-def test_fused_train_frontend_matches_direct(rng, domain):
+@pytest.mark.parametrize("domain,impl", [
+    ("Q", "pallas-interpret"), ("R", "pallas-interpret"),
+    ("Q", "pallas-interpret-thin"),
+])
+def test_fused_train_frontend_matches_direct(rng, domain, impl):
     """TRAIN-mode fused Pallas stage 1 (ops/pallas/conv2d_train.py via
     frontend_impl='pallas-interpret') must match the direct stage: forward
     output, updated batch_stats AND parameter gradients (stage-1's input
@@ -320,7 +323,7 @@ def test_fused_train_frontend_matches_direct(rng, domain):
         spatial_dropout_rate=0.0,
     )
     direct = ConvTCBlock(frontend_impl="xla", **kw)
-    fused = ConvTCBlock(frontend_impl="pallas-interpret", **kw)
+    fused = ConvTCBlock(frontend_impl=impl, **kw)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
     variables = direct.init(jax.random.PRNGKey(0), x, train=False)
     rngs = {"dropout": jax.random.PRNGKey(1)}

@@ -149,32 +149,33 @@ def exec_train_stage_vs_xla():
             return jnp.sum(out * jnp.cos(out)), (out, mean, var)
         return f
 
-    try:
-        fused = lambda x, w, g, bb: conv2d_smallcin_bn_relu_fpool_train(
-            x, w, g, bb, pool_f=pf
-        )
-        (lo, (oo, mo, vo)), go = jax.jit(
-            jax.value_and_grad(loss(oracle), argnums=(0, 1, 2), has_aux=True)
-        )(w, gamma, beta)
-        (lf, (of, mf, vf)), gf = jax.jit(
-            jax.value_and_grad(loss(fused), argnums=(0, 1, 2), has_aux=True)
-        )(w, gamma, beta)
-        np.testing.assert_allclose(np.asarray(of), np.asarray(oo), atol=2e-4, rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(mf), np.asarray(mo), atol=2e-4, rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(vf), np.asarray(vo), atol=2e-4, rtol=1e-4)
-        for a, b_ in zip(gf, go):
-            # grads accumulate over b*f*t elements — tolerance scales with
-            # the array's magnitude (f32 accumulation-order noise; measured
-            # rel err ~4e-5 on chip)
-            scale = float(np.abs(np.asarray(b_)).max()) or 1.0
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=2e-4 * scale
+    (lo, (oo, mo, vo)), go = jax.jit(
+        jax.value_and_grad(loss(oracle), argnums=(0, 1, 2), has_aux=True)
+    )(w, gamma, beta)
+    for pack in ("wide", "thin"):
+        try:
+            fused = lambda x, w, g, bb: conv2d_smallcin_bn_relu_fpool_train(
+                x, w, g, bb, pool_f=pf, pack=pack
             )
-        print("OK    train-stage Element-window fwd+VJP EXECUTES == XLA oracle", flush=True)
-    except Exception as e:
-        msg = str(e).splitlines()[0][:200]
-        print(f"FAIL  train-stage execute-and-compare: {msg}", flush=True)
-        FAILS.append("train-stage exec-compare")
+            (lf, (of, mf, vf)), gf = jax.jit(
+                jax.value_and_grad(loss(fused), argnums=(0, 1, 2), has_aux=True)
+            )(w, gamma, beta)
+            np.testing.assert_allclose(np.asarray(of), np.asarray(oo), atol=2e-4, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(mf), np.asarray(mo), atol=2e-4, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vo), atol=2e-4, rtol=1e-4)
+            for a, b_ in zip(gf, go):
+                # grads accumulate over b*f*t elements — tolerance scales with
+                # the array's magnitude (f32 accumulation-order noise; measured
+                # rel err ~4e-5 on chip)
+                scale = float(np.abs(np.asarray(b_)).max()) or 1.0
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), atol=2e-4 * scale
+                )
+            print(f"OK    train-stage [{pack}] fwd+VJP EXECUTES == XLA oracle", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200]
+            print(f"FAIL  train-stage [{pack}] execute-and-compare: {msg}", flush=True)
+            FAILS.append(f"train-stage-{pack} exec-compare")
 
 
 def exec_stft_vs_fft():
