@@ -321,11 +321,15 @@ def test_int8_model_close_to_f32(rng):
     assert float(jnp.max(jnp.abs(got[1] - ref[1]))) < 0.15
 
 
+@pytest.mark.parametrize("pack", ["wide", "thin"])
 @pytest.mark.parametrize("pf,cin,cout,t", [(2, 8, 16, 32), (4, 4, 8, 32), (8, 8, 24, 100)])
-def test_conv2d_smallcin_fpool_matches_xla(rng, pf, cin, cout, t):
-    """Channel-on-sublane small-Cin fused kernel vs the XLA conv oracle,
-    including a non-128-aligned time length (T padding path)."""
-    from seld_tpu.ops.pallas.conv2d_pool import conv2d_smallcin_bn_relu_fpool
+def test_conv2d_smallcin_fpool_matches_xla(rng, pf, cin, cout, t, pack):
+    """Channel-on-sublane small-Cin fused kernel (wide AND thin pack) vs the
+    XLA conv oracle, including a non-128-aligned time length (T padding
+    path) and a cin=4 case (2Parallel trunk width)."""
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        conv2d_smallcin_bn_relu_fpool, conv2d_smallcin_thin_bn_relu_fpool,
+    )
     from seld_tpu.ops.quaternion import conv_nd
     from seld_tpu.models.layers import max_pool_2d
 
@@ -338,7 +342,11 @@ def test_conv2d_smallcin_fpool_matches_xla(rng, pf, cin, cout, t):
     ref = conv_nd(x, w, None, padding=1)
     ref = jnp.maximum(ref * scale + bias, 0.0)
     ref = max_pool_2d(ref, (pf, 1))
-    got = conv2d_smallcin_bn_relu_fpool(x, w, scale, bias, pool_f=pf, interpret=True)
+    kern = (
+        conv2d_smallcin_thin_bn_relu_fpool if pack == "thin"
+        else conv2d_smallcin_bn_relu_fpool
+    )
+    got = kern(x, w, scale, bias, pool_f=pf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5)
 
 
