@@ -100,8 +100,9 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
     # serving (bf16) runs the hybrid fused path (Pallas smallcin frontend +
     # XLA wide stages, models/fused_infer.py); parity mode (f32) keeps the
     # scipy-parity STFT + model.apply at precision 'highest'. Both measured
-    # in BENCH.md. (bf16 DFT operands were an A/B wash — the input casts cost
-    # what the matmul saves — so the STFT stays f32 in both modes.)
+    # in BENCH.md. A forced --impl fused at f32 keeps f32 STFT features
+    # (CLAUDE.md precision policy; the Pallas STFT emits the requested
+    # dtype).
 
     @jax.jit
     def pipeline(variables, audio):
@@ -113,8 +114,9 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
                 # at b32, BENCH.md round 3)
                 from seld_tpu.ops.pallas.stft import stft_mag_pallas
 
+                sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
                 feats = stft_mag_pallas(
-                    audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
+                    audio, nperseg=512, noverlap=112, out_dtype=sdt
                 )
                 return fused_infer(
                     model, variables, feats, input_layout="BCTF",

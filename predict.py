@@ -100,13 +100,20 @@ def main(argv=None):
                     stft_mag_pallas, stft_mag_supported,
                 )
 
-                if not cfg.phase and stft_mag_supported(nperseg, noverlap):
+                # f32 (parity) configs must keep f32 features — a bf16
+                # STFT output would silently break model.apply parity
+                # (CLAUDE.md precision policy)
+                sdt = (
+                    jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                    else jnp.float32
+                )
+                if not cfg.phase and stft_mag_supported(nperseg, noverlap, sdt):
                     # magnitude-only configs: fused Pallas STFT kernel
                     # (ops/pallas/stft.py, BENCH.md round 3); phase configs
                     # keep the strided-conv formulation
                     feats = stft_mag_pallas(
                         audio, nperseg=nperseg, noverlap=noverlap,
-                        out_dtype=jnp.bfloat16,
+                        out_dtype=sdt,
                     )
                 else:
                     feats = spectrum_fast(

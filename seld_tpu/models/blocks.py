@@ -379,7 +379,7 @@ class ConvTCBlock(nn.Module):
         if self.frontend_impl == "auto" and jax.default_backend() != "tpu":
             return False
         cin = x.shape[-1]
-        return (
+        ok = (
             self.kernel_size_cnn_blocks == 3
             and not self.use_bias
             and self.batch_norm in _BN_ON_CNN
@@ -388,6 +388,19 @@ class ConvTCBlock(nn.Module):
             and pool[1] == 1
             and x.shape[1] % pool[0] == 0
         )
+        if not ok and self.frontend_impl.startswith("pallas"):
+            # an explicit request must not silently measure the XLA stage
+            import warnings
+
+            warnings.warn(
+                f"frontend_impl={self.frontend_impl!r} requested but the "
+                "structural conditions for the fused train-mode stage-1 "
+                "kernel do not hold (needs 3x3 kernel, bias-free conv, "
+                "BN on, no SE block, 3*cin<=32, freq-only pool dividing F) "
+                "— falling back to the XLA stage.",
+                stacklevel=3,
+            )
+        return ok
 
     def _cnn_stage_fused_train(self, x, i: int, c: int, pool):
         """Train-mode stage 0 through the fused Pallas kernel: conv + batch

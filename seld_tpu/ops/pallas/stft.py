@@ -126,7 +126,7 @@ def _pick_gt(g: int, block_groups: int, align: int = 8) -> int:
     return min(big, key=lambda gt: (-(-g // gt) * gt, -gt))
 
 
-def stft_mag_supported(nperseg: int, noverlap: int) -> bool:
+def stft_mag_supported(nperseg: int, noverlap: int, out_dtype=None) -> bool:
     hop = nperseg - noverlap
     if hop <= 0 or nperseg % 2:
         return False
@@ -138,11 +138,13 @@ def stft_mag_supported(nperseg: int, noverlap: int) -> bool:
         return False
     if hop * (fpg - 1) + nperseg - group > group:
         return False
-    # actual stacked-table footprint at bf16 (the serving dtype); 2*n_bins
+    # actual stacked-table footprint in the compute dtype (bf16 unless the
+    # caller wants f32 output — then the tables are f32 too); 2*n_bins
     # table columns == nperseg. Leave >=5 MB of the 16 MB VMEM for blocks.
+    tb = 4 if out_dtype == jnp.float32 else 2
     offs = [(hop * df) % 128 for df in range(fpg)]
     wrows = -(-max(off + nperseg for off in offs) // 128) * 128
-    return group <= 8192 and fpg * wrows * nperseg * 2 <= 11 * 1024 * 1024
+    return group <= 8192 and fpg * wrows * nperseg * tb <= 11 * 1024 * 1024
 
 
 @functools.partial(
@@ -179,7 +181,9 @@ def stft_mag_pallas(
     n = x.shape[-1]
     rows = int(np.prod(lead)) if lead else 1
     hop = nperseg - noverlap
-    assert stft_mag_supported(nperseg, noverlap), (nperseg, noverlap)
+    assert stft_mag_supported(nperseg, noverlap, out_dtype), (
+        nperseg, noverlap, out_dtype,
+    )
     fpg = 128 // math.gcd(hop, 128)
     group = hop * fpg
     n_bins = nperseg // 2

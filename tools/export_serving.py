@@ -42,11 +42,14 @@ def build_pipeline(cfg, model, impl: str):
 
         from seld_tpu.ops.pallas.stft import stft_mag_pallas, stft_mag_supported
 
+        # f32 exports keep f32 features (CLAUDE.md precision policy)
+        sdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
         def pipeline(variables, audio):
             with jax.default_matmul_precision(precision):
-                if not cfg.phase and stft_mag_supported(512, 112):
+                if not cfg.phase and stft_mag_supported(512, 112, sdt):
                     feats = stft_mag_pallas(
-                        audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
+                        audio, nperseg=512, noverlap=112, out_dtype=sdt
                     )
                 else:
                     feats = jax.vmap(
