@@ -71,7 +71,7 @@ def measure_reference():
 
 
 def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
-                smallcin: str = "wide"):
+                smallcin: str = "thin"):
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +173,7 @@ def main():
         "(model.apply with dynamic-act int8 PTQ Hamilton matmuls)",
     )
     ap.add_argument(
-        "--smallcin", type=str, default="wide", choices=["wide", "thin"],
+        "--smallcin", type=str, default="thin", choices=["wide", "thin"],
         help="smallcin stage-1 kernel for the fused path (thin: no dx "
         "duplication, in-kernel tap assembly — BENCH.md round 3)",
     )

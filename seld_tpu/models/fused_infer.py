@@ -176,7 +176,7 @@ def _make_tail_conv(model, features):
 
 
 def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
-                 smallcin_impl="wide"):
+                 smallcin_impl="thin"):
     """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
 
     x: (B, C, F, T) or — ``input_layout='BCTF'`` — (B, C, T, F).
@@ -229,7 +229,7 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
 
 
 def fused_infer(model, variables, x, interpret: bool = False,
-                input_layout: str = "BCFT", smallcin_impl: str = "wide"):
+                input_layout: str = "BCFT", smallcin_impl: str = "thin"):
     """(sed, doa) for a SELDModel, Pallas-fused frontend.
 
     Supports the single-trunk configs AND the 2Parallel / parallel_magphase

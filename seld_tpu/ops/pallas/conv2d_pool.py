@@ -442,11 +442,20 @@ def smallcin_thin_pack(
 def smallcin_thin_stack(block, tt: int, dtype):
     """(3, 8, tt+256) halo block -> (72, tt) (dx, dy, c8) stack in ``dtype``.
 
-    f32 for the slice+concat (8-row-aligned sublane pieces; bf16's 16-row
-    tile would misalign the 24-row pieces), cast at the end for the MXU."""
+    f32 for the assembly (8-row-aligned sublane pieces; bf16's 16-row tile
+    would misalign the 24-row pieces), cast at the end for the MXU. Each dx
+    tap is rotated to lane offset 0 with ``pltpu.roll`` BEFORE the aligned
+    [128:128+tt] slice: Mosaic's tpu.concatenate refuses operands whose
+    lane offsets differ (slices at 127+dx have offsets 127/0/1 — "result/
+    input offset mismatch on non-concat dimension"), while a cyclic lane
+    rotate is supported in both compiled and interpret modes. The wrap
+    lanes a rotate drags in land outside the slice window, so values are
+    identical to the direct misaligned slices."""
     arr = block.astype(jnp.float32).reshape(24, -1)  # (3*8, tt+256)
+    n = arr.shape[1]
     stack = jnp.concatenate(
-        [arr[:, 127 + dx : 127 + dx + tt] for dx in range(3)], axis=0
+        [pltpu.roll(arr, (1 - dx) % n, 1)[:, 128 : 128 + tt] for dx in range(3)],
+        axis=0,
     )
     return stack.astype(dtype)
 
