@@ -159,11 +159,12 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
 
 def main():
     ap = argparse.ArgumentParser()
-    # defaults = the serving configuration. batch 32: best measured
-    # throughput on one v5e (the fused frontend never materializes the
-    # stage-1 activation that OOMed b32 in round 1); b64 OOMs at runtime.
+    # defaults = the serving configuration. batch 64: best measured
+    # throughput on one v5e — unlocked by the thin smallcin pack (1.28 GB
+    # packed stage-1 input vs the wide pack's 5.1 GB, which OOMed b64).
+    # b96 compile-OOMs on the XLA stage-2 conv's 7 GB intermediate.
     # Parity mode: --dtype float32 --batch 4. BENCH.md has the batch sweep.
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument(
