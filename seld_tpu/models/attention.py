@@ -90,6 +90,19 @@ class MultiHeadAttention(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "chunked" if q_len >= 1024 and mask is None else "full"
+            # bf16 long-sequence on TPU: the Pallas flash kernels win in
+            # BOTH directions (fwd 3.33 ms/call vs chunked 8.3; training
+            # 174 -> 166 ms/step bf16 b8 once the backward got its own
+            # VMEM-sized blocks — BENCH.md round 3) and save the chunked
+            # scan's ~2.3 GB of per-chunk softmax residuals. f32 (parity
+            # mode) keeps the chunked path: flash accumulates in a
+            # different summation order than the reference's full softmax.
+            if (
+                impl == "chunked"
+                and self.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+            ):
+                impl = "pallas"
         if impl == "pallas":
             from seld_tpu.ops.pallas.attention import flash_attention
 

@@ -232,13 +232,13 @@ def _flash_backward(qp, kp, vp, dop, lse, delta, scale, bq, bk, interpret):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_core(q, k, v, scale, bq, bk, interpret):
-    out, _ = _flash_core_fwd(q, k, v, scale, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_core(q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret):
+    out, _ = _flash_core_fwd(q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret)
     return out
 
 
-def _flash_core_fwd(q, k, v, scale, bq, bk, interpret):
+def _flash_core_fwd(q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret):
     b, t, h, d = q.shape
     d_pad = _round_up(d, 128)
     qp, kp, vp = _prep(q, d_pad), _prep(k, d_pad), _prep(v, d_pad)
@@ -248,7 +248,7 @@ def _flash_core_fwd(q, k, v, scale, bq, bk, interpret):
     return out, (q, k, v, out, lse)
 
 
-def _flash_core_bwd(scale, bq, bk, interpret, res, g):
+def _flash_core_bwd(scale, bq, bk, bq_bwd, bk_bwd, interpret, res, g):
     q, k, v, out, lse = res
     b, t, h, d = q.shape
     d_pad = _round_up(d, 128)
@@ -259,7 +259,9 @@ def _flash_core_bwd(scale, bq, bk, interpret, res, g):
     delta = jnp.transpose(delta, (0, 2, 1)).reshape(b * h, t, 1)
     qp, kp, vp = _prep(q, d_pad), _prep(k, d_pad), _prep(v, d_pad)
     dop = _prep(g.astype(q.dtype), d_pad)
-    dq, dk, dv = _flash_backward(qp, kp, vp, dop, lse, delta, scale, bq, bk, interpret)
+    dq, dk, dv = _flash_backward(
+        qp, kp, vp, dop, lse, delta, scale, bq_bwd, bk_bwd, interpret
+    )
 
     def unprep(xp, like):
         x = xp[:, :, :d].reshape(b, h, t, d)
@@ -278,6 +280,7 @@ def flash_attention(
     scale: float,
     block_q: int = 1200,
     block_k: int = 1200,
+    block_bwd: int = 600,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: (B, T, H, D) -> (B, T, H, D). Unmasked self-attention.
@@ -286,9 +289,13 @@ def flash_attention(
     kernels above (no (T, T) materialization in either direction).
 
     Block defaults: at the flagship shape (b16, T=2400, H=8, D=48) larger
-    blocks win decisively — 3.33 ms/call at 1200 vs 5.48 at 480 vs 8.3 for
-    the chunked XLA path (interleaved A/B 2026-08-17); _pick_block rounds
-    down to the largest divisor of T, so smaller T still gets valid blocks.
+    FORWARD blocks win decisively — 3.33 ms/call at 1200 vs 5.48 at 480 vs
+    8.3 for the chunked XLA path (interleaved A/B 2026-08-17); _pick_block
+    rounds down to the largest divisor of T, so smaller T still gets valid
+    blocks. The BACKWARD kernels hold four (bq, bk) f32 temps on the VMEM
+    stack (st/pt/dpt/dst) — at 1200x1200 that's 16.09 MB, 92 KB over the
+    16 MB scoped-VMEM limit (the round-2 "flash training compile-OOM" was
+    this, not HBM) — so backward uses its own smaller block bound.
     """
     t = q.shape[1]
     bq = _pick_block(t, block_q)
@@ -300,4 +307,8 @@ def flash_attention(
         from seld_tpu.models.attention import _attend_chunked
 
         return _attend_chunked(q, k, v, scale, 512)
-    return _flash_attention_core(q, k, v, scale, bq, bk, interpret)
+    bq_bwd = _pick_block(t, min(block_q, block_bwd))
+    bk_bwd = _pick_block(t, min(block_k, block_bwd))
+    return _flash_attention_core(
+        q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret
+    )

@@ -146,6 +146,7 @@ def parse_traces(log_dir: str, n_iters: int):
 
     per_op = defaultdict(float)
     per_pid = defaultdict(float)
+    op_meta = {}
     for ev in events:
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
@@ -154,6 +155,12 @@ def parse_traces(log_dir: str, n_iters: int):
             continue
         per_op[ev["name"]] += ev["dur"] / 1000.0  # us -> ms
         per_pid[pid_names.get(pid, str(pid))] += ev["dur"] / 1000.0
+        args = ev.get("args") or {}
+        if ev["name"] not in op_meta and ("long_name" in args or "hlo_category" in args):
+            op_meta[ev["name"]] = (
+                args.get("hlo_category", ""),
+                args.get("long_name", "")[:150],
+            )
 
     print(f"\n=== device streams (total ms over {n_iters} iters) ===")
     for name, ms in sorted(per_pid.items(), key=lambda kv: -kv[1]):
@@ -162,7 +169,8 @@ def parse_traces(log_dir: str, n_iters: int):
     print(f"\n=== top 45 ops by total device time (/{n_iters} = per-iter ms) ===")
     rows = sorted(per_op.items(), key=lambda kv: -kv[1])[:45]
     for name, ms in rows:
-        print(f"  {ms/n_iters:9.3f} ms/iter  {name[:110]}")
+        cat, long = op_meta.get(name, ("", ""))
+        print(f"  {ms/n_iters:9.3f} ms/iter  {name[:60]:60s} [{cat}] {long}")
 
     cats = defaultdict(float)
     for name, ms in per_op.items():
