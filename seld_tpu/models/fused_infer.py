@@ -31,6 +31,7 @@ from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
 from seld_tpu.ops.pallas.conv2d_pool import (
     conv2d_smallcin_bn_relu_fpool,
     conv2d_smallcin_thin_bn_relu_fpool,
+    conv2d_widecin_ct_bn_relu_fpool,
 )
 from seld_tpu.ops.quaternion import conv_nd, quaternion_linear
 
@@ -198,6 +199,8 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
     else:
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
         first_pre_transposed = False
+    t_full = h.shape[-1] if first_pre_transposed else h.shape[-2]
+    h_is_ct = False  # h currently in (B, F, C, T_pad) channel-on-sublane
     for i, pool in enumerate(model.pool_size):
         conv_p = params[f"cnn_{i}"]
         kernel = _frontend_kernel(conv_p).astype(dtype)
@@ -205,7 +208,23 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
             conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
         )
         pre_t = first_pre_transposed and i == 0
-        cin = h.shape[-2] if pre_t else h.shape[-1]
+        cin = h.shape[-2] if (pre_t or h_is_ct) else h.shape[-1]
+        # stay in the smallcin kernels' native channel-on-sublane (CT)
+        # layout across the whole CNN: the b64 serving trace spent 14 ms
+        # relaying stage 1's output to channel-last plus 49 ms in the XLA
+        # stage-2 conv fusion; the CT chain removes the relayout and fuses
+        # conv+BN+ReLU+pool per stage (BENCH.md round 3).
+        ct_next = dtype == jnp.bfloat16 and i + 1 < len(model.pool_size)
+        if h_is_ct:
+            if cin % 8 == 0 and h.shape[1] % int(pool[0]) == 0:
+                h = conv2d_widecin_ct_bn_relu_fpool(
+                    h, t_full, kernel, scale, bias, pool_f=int(pool[0]),
+                    interpret=interpret,
+                )
+                continue
+            # structural fallback: convert once to channel-last
+            h = jnp.transpose(h[..., :t_full], (0, 1, 3, 2))
+            h_is_ct = False
         if cin <= 8 and smallcin_impl == "thin":
             # thin pack: 1/4 the packed bytes; the wide pack's 3x shifted
             # copy build was the largest op on the b32 serving trace
@@ -213,18 +232,30 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
             h = conv2d_smallcin_thin_bn_relu_fpool(
                 h, kernel, scale, bias, pool_f=int(pool[0]),
                 interpret=interpret, pre_transposed=pre_t,
+                out_layout="CT" if ct_next else "FTC",
             )
+            h_is_ct = ct_next
         elif 3 * cin <= 32:
             h = conv2d_smallcin_bn_relu_fpool(
                 h, kernel, scale, bias, pool_f=int(pool[0]),
                 interpret=interpret, pre_transposed=pre_t,
+                out_layout="CT" if ct_next else "FTC",
             )
+            h_is_ct = ct_next
         else:
             y = conv_nd(h, kernel, None, padding=1)
             y = jnp.maximum(y * scale.astype(dtype) + bias.astype(dtype), 0.0)
             h = max_pool_2d(y, (int(pool[0]), 1))
-    b, f, t, c = h.shape
-    h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
+    if h_is_ct:
+        # channel-major flatten straight from CT: (B, F, C, T) ->
+        # (B, T, C*F), matching the reference's permute+reshape order
+        b, f, c, _ = h.shape
+        h = jnp.transpose(h[..., :t_full], (0, 3, 2, 1)).reshape(
+            b, t_full, c * f
+        )
+    else:
+        b, f, t, c = h.shape
+        h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
     return _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
 
 

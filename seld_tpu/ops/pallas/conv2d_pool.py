@@ -164,7 +164,20 @@ def conv2d_im2col_bn_relu_fpool(
     )(patches, w.reshape(k, cout), scale.reshape(1, cout), bias.reshape(1, cout))
 
 
-def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
+def _zero_pad_cols(out, mask_t, tt):
+    """Zero output columns >= mask_t (the grid's lane-tile offset rides
+    program_id(2)). The packed tpad region would otherwise hold
+    relu(bias) != 0 — consumers reading the raw channel-on-sublane output
+    (``out_layout='CT'``) rely on those columns being exact conv zero-pad."""
+    if mask_t is None:
+        return out
+    col0 = pl.program_id(2) * tt
+    idx = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, out.shape[-1]), 1)
+    return jnp.where(idx < mask_t, out, 0.0)
+
+
+def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg,
+                     mask_t=None, tt=None):
     out = None
     for r in range(pf):
         # rows r..r+2 of the band are the dy taps; each is kg sublanes of
@@ -178,10 +191,11 @@ def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
         )  # (cout, tt)
         y = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
         out = y if out is None else jnp.maximum(out, y)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = _zero_pad_cols(out, mask_t, tt).astype(o_ref.dtype)
 
 
-def _smallcin_kernel_win(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
+def _smallcin_kernel_win(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg,
+                         mask_t=None, tt=None):
     """Like :func:`_smallcin_kernel`, but the F-window block is 4-D
     (1, pf+2, kg, tt) — read directly from the halo'd (B, F+2, kg, T)
     tensor via an Element-indexed overlapping window (no bands stack)."""
@@ -194,7 +208,7 @@ def _smallcin_kernel_win(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg):
         )
         y = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
         out = y if out is None else jnp.maximum(out, y)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = _zero_pad_cols(out, mask_t, tt).astype(o_ref.dtype)
 
 
 def smallcin_meta(
@@ -312,12 +326,19 @@ def conv2d_smallcin_bn_relu_fpool(
     block_t: int = 2560,
     interpret: bool = False,
     pre_transposed: bool = False,
+    out_layout: str = "FTC",
 ) -> jnp.ndarray:
     """x (B, F, T, Cin), w (3, 3, Cin, Cout) -> (B, F//pf, T, Cout).
 
     ``pre_transposed=True`` takes x already in the packer's internal
     (B, F, Cin, T) channel-on-sublane layout (the conv-STFT serving path
     hands this over directly, skipping a full-tensor transpose).
+
+    ``out_layout='CT'`` returns the kernel's RAW (B, F//pf, Cout, T_pad)
+    channel-on-sublane output — padded columns >= T zeroed in-kernel — for
+    direct consumption by :func:`conv2d_widecin_ct_bn_relu_fpool` (skipping
+    the (..., Cout, T) -> (..., T, Cout) relayout, 14 ms at b64 on the
+    serving trace).
 
     Same contract as :func:`conv2d_bn_relu_fpool`, for small Cin (3*Cin <=
     32; the flagship front-end has Cin=8, reference model.py:261-287).
@@ -355,6 +376,7 @@ def conv2d_smallcin_bn_relu_fpool(
         * x.dtype.itemsize,
         transcendentals=0,
     )
+    mask_t = t if out_layout == "CT" else None
     if not interpret:
         # read overlapping (pf+2)-row F-windows straight out of p0 with an
         # Element-indexed start (fo*pf): no (B, F//pf, pf+2, kg, T) bands
@@ -363,7 +385,9 @@ def conv2d_smallcin_bn_relu_fpool(
         # supported by the interpreter, so interpret-mode tests keep the
         # stacked path.)
         out = pl.pallas_call(
-            functools.partial(_smallcin_kernel_win, pf=pf, kg=kg),
+            functools.partial(
+                _smallcin_kernel_win, pf=pf, kg=kg, mask_t=mask_t, tt=tt
+            ),
             grid=grid,
             in_specs=[smallcin_window_spec(pf, kg, tt), *tail_specs],
             out_specs=out_spec,
@@ -373,7 +397,9 @@ def conv2d_smallcin_bn_relu_fpool(
     else:
         bands = smallcin_bands_stack(p0, pf)  # (B, F//pf, pf+2, kg, tpad)
         out = pl.pallas_call(
-            functools.partial(_smallcin_kernel, pf=pf, kg=kg),
+            functools.partial(
+                _smallcin_kernel, pf=pf, kg=kg, mask_t=mask_t, tt=tt
+            ),
             grid=grid,
             in_specs=[smallcin_bands_spec(pf, kg, tt), *tail_specs],
             out_specs=out_spec,
@@ -381,6 +407,8 @@ def conv2d_smallcin_bn_relu_fpool(
             cost_estimate=cost,
             interpret=True,
         )(bands, *args)
+    if out_layout == "CT":
+        return out
     return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
@@ -487,7 +515,7 @@ def smallcin_thin_bands_spec(pf: int, tpad: int):
 
 
 def _smallcin_thin_kernel(
-    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False
+    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False, mask_t=None
 ):
     """Thin-pack kernel body: p (1, pf+2, 8, tt+256) — c on sublanes, lane
     halo 128 each side. Builds the (72, tt) (dx, dy, c8) operand per pool
@@ -506,7 +534,7 @@ def _smallcin_thin_kernel(
         )  # (cout, tt)
         y = jnp.maximum(acc * scale + bias, 0.0)
         out = y if out is None else jnp.maximum(out, y)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = _zero_pad_cols(out, mask_t, tt).astype(o_ref.dtype)
 
 
 def conv2d_smallcin_thin_bn_relu_fpool(
@@ -518,10 +546,13 @@ def conv2d_smallcin_thin_bn_relu_fpool(
     block_t: int = 2560,
     interpret: bool = False,
     pre_transposed: bool = False,
+    out_layout: str = "FTC",
 ) -> jnp.ndarray:
     """Same contract as :func:`conv2d_smallcin_bn_relu_fpool`, via the thin
     pack: 1/4 the packed bytes, dx taps assembled in-kernel (one K=72 MXU
-    dot per pool row, same pass count as the wide pack's K=96)."""
+    dot per pool row, same pass count as the wide pack's K=96).
+    ``out_layout='CT'`` as on the wide wrapper: raw zero-masked
+    (B, F//pf, Cout, T_pad) channel-on-sublane output."""
     pt, wk, (b, f, t, cin, cout, tpad, tt) = smallcin_thin_pack(
         x, w, block_t=block_t, pre_transposed=pre_transposed
     )
@@ -546,12 +577,15 @@ def conv2d_smallcin_thin_bn_relu_fpool(
         * x.dtype.itemsize,
         transcendentals=0,
     )
+    mask_t = t if out_layout == "CT" else None
     if not interpret:
         # overlapping Element windows in BOTH F (pf+2 rows) and lanes
         # (tt+256: the 128-lane dx halo each side; starts ti*tt stay
         # 128-aligned because tt | 128)
         out = pl.pallas_call(
-            functools.partial(_smallcin_thin_kernel, pf=pf, tt=tt),
+            functools.partial(
+                _smallcin_thin_kernel, pf=pf, tt=tt, mask_t=mask_t
+            ),
             grid=(b, f // pf, tpad // tt),
             in_specs=[smallcin_thin_window_spec(pf, tt), *tail_specs],
             out_specs=out_spec,
@@ -563,7 +597,10 @@ def conv2d_smallcin_thin_bn_relu_fpool(
         # stacked F-band tensor
         bands = smallcin_bands_stack(pt, pf)  # (B, F//pf, pf+2, 8, 256+tpad)
         out = pl.pallas_call(
-            functools.partial(_smallcin_thin_kernel, pf=pf, tt=tpad, stacked=True),
+            functools.partial(
+                _smallcin_thin_kernel, pf=pf, tt=tpad, stacked=True,
+                mask_t=mask_t,
+            ),
             grid=(b, f // pf, 1),
             in_specs=[smallcin_thin_bands_spec(pf, tpad), *tail_specs],
             out_specs=pl.BlockSpec(
@@ -574,6 +611,8 @@ def conv2d_smallcin_thin_bn_relu_fpool(
             cost_estimate=cost,
             interpret=True,
         )(bands, *args)
+    if out_layout == "CT":
+        return out
     return jnp.transpose(out[..., :t], (0, 1, 3, 2))
 
 
@@ -632,4 +671,165 @@ def conv2d_bn_relu_fpool(
         ),
         interpret=interpret,
     )(xw, w, scale.reshape(1, cout), bias.reshape(1, cout))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Wide-Cin channel-on-sublane (CT) stage kernel
+# ---------------------------------------------------------------------------
+
+
+def widecin_ct_pack(h: jnp.ndarray, t: int, tt: int) -> jnp.ndarray:
+    """(B, F, C, T_in) channel-on-sublane stage input — columns >= ``t``
+    REQUIRED zero (the smallcin/widecin kernels' ``out_layout='CT'`` /
+    masked outputs guarantee this) -> (B, F+2, C, 128 + tpad + 128): F conv
+    halo rows, 128 zero lanes each side (the kernel's dx-shift halo,
+    doubling as the conv's time zero-pad), tpad the next ``tt`` multiple
+    >= t."""
+    b, f, c, tin = h.shape
+    assert tin >= t, (tin, t)
+    tpad = -(-t // tt) * tt
+    if tin > tpad:
+        h = h[..., :tpad]  # columns >= t are zero by contract
+    return jnp.pad(h, ((0, 0), (1, 1), (0, 0), (128, 128 + tpad - min(tin, tpad))))
+
+
+def widecin_ct_window_spec(pf: int, c: int, tt: int):
+    """Element-indexed overlapping window: pf+2 F rows, tt+256 lanes (the
+    128-lane dx halo each side; lane starts ti*tt stay 128-aligned)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(pf + 2), pl.Element(c), pl.Element(tt + 256)),
+        lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _widecin_ct_kernel(
+    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False, mask_t=None
+):
+    """Wide-channel CT stage body: p (1, pf+2, C, tt+256), w (3, 3, C, Cout).
+
+    Channels stay on SUBLANES and time on LANES end-to-end (the smallcin
+    stage-1 kernels' native output layout), so no (T, C) relayout ever
+    happens between CNN stages — at b64 the XLA formulation spent 14 ms
+    relaying stage-1's output plus 49 ms in a channel-last conv fusion
+    (serving trace, BENCH.md round 3). Each dx tap is a ``pltpu.roll``
+    cyclic lane rotate of a physical row (hoisted per row — each of the
+    pf+2 rows is rolled exactly 3x and reused by every pool row touching
+    it); the conv is 9 K=C MXU dots per pool row with the BN affine, ReLU
+    and frequency max-pool fused. Reference stage semantics:
+    /root/reference/model.py:261-287.
+    """
+    scale = s_ref[...]
+    bias = b_ref[...]
+    rows = p_ref[0, 0] if stacked else p_ref[0]  # (pf+2, C, tt+256)
+    n = rows.shape[-1]
+
+    def tap(k, dx):
+        # dx=1 is the unshifted tap: a plain 128-aligned slice. The shifted
+        # taps go through pltpu.roll, which only lowers for 32-bit data
+        # ("Rotate with non-32-bit data") — f32 round-trip for bf16 inputs.
+        if dx == 1:
+            return rows[k][:, 128 : 128 + tt]
+        r = pltpu.roll(rows[k].astype(jnp.float32), (1 - dx) % n, 1)
+        return r[:, 128 : 128 + tt].astype(rows.dtype)
+
+    rolled = [[tap(k, dx) for dx in range(3)] for k in range(pf + 2)]
+    out = None
+    for r in range(pf):
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                d = jax.lax.dot_general(
+                    w_ref[dy, dx], rolled[r + dy][dx],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (cout, tt)
+                acc = d if acc is None else acc + d
+        y = jnp.maximum(acc * scale + bias, 0.0)
+        out = y if out is None else jnp.maximum(out, y)
+    o_ref[0, 0] = _zero_pad_cols(out, mask_t, tt).astype(o_ref.dtype)
+
+
+def conv2d_widecin_ct_bn_relu_fpool(
+    h: jnp.ndarray,
+    t: int,
+    w: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    pool_f: int,
+    block_t: int = 384,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """h (B, F, C, T_pad) channel-on-sublane with columns >= t zero (a CT
+    output of the smallcin kernels or of this op), w (3, 3, C, Cout) ->
+    (B, F//pf, Cout, tpad') CT with columns >= t zeroed in-kernel.
+
+    maxpool_f(relu(conv2d * scale + bias)) for WIDE channel counts
+    (C % 8 == 0), staying in the CT layout between CNN stages. The caller
+    slices [..., :t] only at the trunk's end."""
+    b, f, c, tin = h.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, c), w.shape
+    assert f % pool_f == 0, (f, pool_f)
+    assert c % 8 == 0, c
+    assert block_t % 128 == 0, block_t
+    tt = min(block_t, -(-t // 128) * 128)
+    tpad = -(-t // tt) * tt
+    p = widecin_ct_pack(h, t, tt)
+    pf = pool_f
+    args = (
+        w,
+        scale.astype(jnp.float32).reshape(cout, 1),
+        bias.astype(jnp.float32).reshape(cout, 1),
+    )
+    tail_specs = [
+        pl.BlockSpec(
+            (3, 3, c, cout), lambda b, fo, ti: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * b * f * tpad * 9 * c * cout,
+        bytes_accessed=(b * f * tpad * c + b * (f // pf) * tpad * cout)
+        * h.dtype.itemsize,
+        transcendentals=0,
+    )
+    if not interpret:
+        out = pl.pallas_call(
+            functools.partial(_widecin_ct_kernel, pf=pf, tt=tt, mask_t=t),
+            grid=(b, f // pf, tpad // tt),
+            in_specs=[widecin_ct_window_spec(pf, c, tt), *tail_specs],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), h.dtype),
+            cost_estimate=cost,
+        )(p, *args)
+    else:
+        bands = smallcin_bands_stack(p, pf)  # (B, F//pf, pf+2, C, 256+tpad)
+        out = pl.pallas_call(
+            functools.partial(
+                _widecin_ct_kernel, pf=pf, tt=tpad, stacked=True, mask_t=t
+            ),
+            grid=(b, f // pf, 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, pf + 2, c, tpad + 256),
+                    lambda b, fo, ti: (b, fo, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *tail_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, cout, tpad), lambda b, fo, ti: (b, fo, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), h.dtype),
+            cost_estimate=cost,
+            interpret=True,
+        )(bands, *args)
     return out

@@ -408,3 +408,100 @@ def test_fused_infer_thin_smallcin_matches_model(rng):
     sed, doa = fused_infer(model, variables, x, interpret=True, smallcin_impl="thin")
     np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("pf,c,cout,t", [(2, 16, 16, 40), (4, 8, 24, 96)])
+def test_conv2d_widecin_ct_matches_xla(rng, pf, c, cout, t):
+    """Wide-Cin channel-on-sublane stage kernel (conv+BN affine+ReLU+fpool in
+    the CT layout) vs the XLA composition. Reference stage semantics:
+    model.py:261-287."""
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_widecin_ct_bn_relu_fpool
+
+    b, f = 2, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.2)
+    scale = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jnp.maximum(y * scale + bias, 0.0)
+    want = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, pf, 1, 1), (1, pf, 1, 1), "VALID"
+    )
+
+    # CT input with lane padding beyond t (zeros, per the layout contract)
+    h_ct = jnp.pad(jnp.transpose(x, (0, 1, 3, 2)), ((0, 0), (0, 0), (0, 0), (0, 24)))
+    out_ct = conv2d_widecin_ct_bn_relu_fpool(
+        h_ct, t, w, scale, bias, pool_f=pf, interpret=True
+    )
+    got = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # padded columns must be exact zeros (downstream CT stages rely on it)
+    assert not np.any(np.asarray(out_ct[..., t:]))
+
+
+def test_smallcin_ct_chain_matches_ftc(rng):
+    """smallcin(out_layout='CT') -> widecin stage == smallcin(FTC) -> XLA
+    stage: the serving CT chain is layout plumbing only."""
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        conv2d_smallcin_bn_relu_fpool,
+        conv2d_widecin_ct_bn_relu_fpool,
+    )
+
+    b, f, t, cin, c1, c2, pf = 2, 16, 72, 8, 16, 24, 2
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)).astype(np.float32) * 0.2)
+    s1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+
+    h1 = conv2d_smallcin_bn_relu_fpool(x, w1, s1, b1, pool_f=pf, interpret=True)
+    y = jax.lax.conv_general_dilated(
+        h1, w2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jnp.maximum(y * s2 + b2, 0.0)
+    want = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, pf, 1, 1), (1, pf, 1, 1), "VALID"
+    )
+
+    h1_ct = conv2d_smallcin_bn_relu_fpool(
+        x, w1, s1, b1, pool_f=pf, interpret=True, out_layout="CT"
+    )
+    out_ct = conv2d_widecin_ct_bn_relu_fpool(
+        h1_ct, t, w2, s2, b2, pool_f=pf, interpret=True
+    )
+    got = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_infer_bf16_ct_chain_matches_apply(rng):
+    """The bf16 serving path routes wide CNN stages through the CT-layout
+    widecin kernel (no channel-last relayout between stages) — outputs must
+    track model.apply at bf16 tolerance."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+    import dataclasses
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(16, 16, 16), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+        compute_dtype="bfloat16",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(sed, np.float32), np.asarray(sed_ref, np.float32), atol=0.04
+    )
+    np.testing.assert_allclose(
+        np.asarray(doa, np.float32), np.asarray(doa_ref, np.float32), atol=0.04
+    )

@@ -116,6 +116,49 @@ def exec_smallcin_thin_vs_xla():
         FAILS.append("smallcin-thin exec-compare")
 
 
+def exec_widecin_ct_vs_xla():
+    """Execute-and-compare the CT-layout wide stage kernel on the chip (the
+    real-TPU path uses Element windows + pltpu.roll tap assembly the
+    interpret tests never lower) vs the XLA conv oracle."""
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_widecin_ct_bn_relu_fpool
+
+    rng = np.random.default_rng(5)
+    b, f, t, c, cout, pf = 2, 32, 640, 24, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.1)
+    s = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    try:
+        h_ct = jnp.pad(
+            jnp.transpose(x, (0, 1, 3, 2)), ((0, 0), (0, 0), (0, 0), (0, 128))
+        )
+        got_ct = jax.jit(
+            lambda h, w, s, bb: conv2d_widecin_ct_bn_relu_fpool(
+                h, t, w, s, bb, pool_f=pf
+            )
+        )(h_ct, w, s, bb)
+        got = np.asarray(jnp.transpose(got_ct[..., :t], (0, 1, 3, 2)))
+
+        def oracle(x, w, s, bb):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = jnp.maximum(y * s + bb, 0.0)
+            return jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (1, pf, 1, 1), (1, pf, 1, 1), "VALID"
+            )
+
+        want = np.asarray(jax.jit(oracle)(x, w, s, bb))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+        assert not np.any(np.asarray(got_ct[..., t:])), "tpad columns not zero"
+        print("OK    widecin CT kernel EXECUTES == XLA oracle", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200] or str(e).splitlines()[1][:200]
+        print(f"FAIL  widecin-ct execute-and-compare: {msg}", flush=True)
+        FAILS.append("widecin-ct exec-compare")
+
+
 def exec_train_stage_vs_xla():
     """Execute-and-compare the fused TRAIN-mode stage-1 op (fwd + custom-VJP
     grads) on the chip against the XLA composition — the real-TPU path uses
@@ -235,6 +278,18 @@ def main():
         shaped((4, 32, 4800, 192)), shaped((3, 3, 192, 192)),
         shaped((192,), jnp.bfloat16), shaped((192,), jnp.bfloat16),
     )
+    # CT-layout wide stage kernel: flagship stage 2 (consumes stage 1's
+    # native channel-on-sublane output, tpad from the thin smallcin pack)
+    from seld_tpu.ops.pallas.conv2d_pool import conv2d_widecin_ct_bn_relu_fpool
+
+    check(
+        "conv2d_widecin_ct_bn_relu_fpool (stage2 CT bf16)",
+        lambda h, w, s, b: conv2d_widecin_ct_bn_relu_fpool(
+            h, 4800, w, s, b, pool_f=8
+        ),
+        shaped((4, 32, 192, 4864)), shaped((3, 3, 192, 192)),
+        shaped((192,), jnp.float32), shaped((192,), jnp.float32),
+    )
     # flash attention fwd+bwd at the TCN's T=2400, H=8, D=48
     check(
         "flash_attention fwd (T=2400 bf16)",
@@ -302,6 +357,7 @@ def main():
 
     exec_smallcin_vs_xla()
     exec_smallcin_thin_vs_xla()
+    exec_widecin_ct_vs_xla()
     exec_train_stage_vs_xla()
     exec_stft_vs_fft()
 
