@@ -84,17 +84,24 @@ def _stft_kernel(
     starts[df]: 128-aligned lane start of frame df's table rows.
     """
     group = x_ref.shape[-1]
+    # the audio arrives in its storage dtype (f32 on the serving path) and
+    # is cast to the DFT tables' compute dtype HERE — folding the XLA-side
+    # convert_bitcast_fusion + its relayout (8.6 + 6.8 ms at b64, BENCH.md
+    # round-3 trace) into the block read
+    xall = x_ref[0]
+    if xall.dtype != w_ref.dtype:
+        xall = xall.astype(w_ref.dtype)
     mags = []
     for df in range(fpg):
         a0 = starts[df]
         wdf = min(wrows, group - a0)  # last frame: stop at the group edge
-        xs = x_ref[0, :gt, a0 : a0 + wdf]  # (Gt, wdf) aligned
+        xs = xall[:gt, a0 : a0 + wdf]  # (Gt, wdf) aligned
         y = jax.lax.dot_general(
             xs, w_ref[df, :wdf], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Gt, 2F)
         if df == fpg - 1:
-            xh = x_ref[0, 1 : gt + 1, : wh_ref.shape[0]]  # next group's head
+            xh = xall[1 : gt + 1, : wh_ref.shape[0]]  # next group's head
             y = y + jax.lax.dot_general(
                 xh, wh_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -206,12 +213,16 @@ def stft_mag_pallas(
     w = jnp.asarray(tables, cdt)
     wh = jnp.asarray(head, cdt)
 
-    # one fused pad+cast: scipy zero boundary + tail padding. The tiled path
-    # pads 8 extra group rows (not 1) so every Element tile's 8-row overlap
-    # stays in-bounds with an 8-aligned start (Mosaic window constraint).
+    # scipy zero boundary + tail padding in the STORAGE dtype — the cast to
+    # the compute dtype happens inside the kernel's block read (saves the
+    # XLA convert + relayout of the ~1 GB audio at b64; the f32 block read
+    # costs 2x HBM bytes but the pad's copy was paying that anyway). The
+    # tiled path pads 8 extra group rows (not 1) so every Element tile's
+    # 8-row overlap stays in-bounds with an 8-aligned start (Mosaic window
+    # constraint).
     over = 1 if (interpret or g_pad == gt) else 8
     npad = (g_pad + over) * group
-    xp = jnp.pad(x.reshape(rows, n).astype(cdt), ((0, 0), (half, npad - n - half)))
+    xp = jnp.pad(x.reshape(rows, n), ((0, 0), (half, npad - n - half)))
     xv = xp.reshape(rows, g_pad + over, group)
 
     grid = (rows, g_pad // gt)
@@ -233,7 +244,8 @@ def stft_mag_pallas(
         oshape = jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype)
     cost = pl.CostEstimate(
         flops=2 * rows * g_pad * fpg * wrows * 2 * n_bins,
-        bytes_accessed=(rows * npad + rows * g_pad * fpg * n_bins) * 2,
+        bytes_accessed=rows * npad * x.dtype.itemsize
+        + rows * g_pad * fpg * n_bins * 2,
         transcendentals=0,
     )
     if interpret or g_pad == gt:
