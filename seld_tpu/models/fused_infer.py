@@ -29,6 +29,7 @@ from seld_tpu.models.layers import max_pool_2d, max_pool_time
 from seld_tpu.ops.dual_quaternion import dual_quaternion_linear
 from seld_tpu.ops.hamilton import assemble_dq_conv_kernel, assemble_q_kernel
 from seld_tpu.ops.pallas.conv2d_pool import (
+    CT_HALO,
     conv2d_smallcin_bn_relu_fpool,
     conv2d_smallcin_thin_bn_relu_fpool,
     conv2d_widecin_ct_bn_relu_fpool,
@@ -177,7 +178,7 @@ def _make_tail_conv(model, features):
 
 
 def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
-                 smallcin_impl="thin"):
+                 smallcin_impl="thin", ct_handoff="halo"):
     """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
 
     x: (B, C, F, T) or — ``input_layout='BCTF'`` — (B, C, T, F).
@@ -200,7 +201,26 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # (B, F, T, C)
         first_pre_transposed = False
     t_full = h.shape[-1] if first_pre_transposed else h.shape[-2]
-    h_is_ct = False  # h currently in (B, F, C, T_pad) channel-on-sublane
+    # static per-stage plan — which stage will consume the widecin CT kernel
+    # (its producer then emits channel-on-sublane directly, and — when the
+    # producer is the thin smallcin kernel — the HALO'D 'CTH' buffer widecin
+    # reads with no XLA pad in between, BENCH.md round-3 b64 trace: the
+    # stage-1->2 pad was 12.6 ms and doubled a ~6 GB buffer)
+    f_seq = [h.shape[1]]
+    for pool in model.pool_size:
+        f_seq.append(f_seq[-1] // int(pool[0]))
+    couts = [
+        params[f"cnn_bn_{i}"]["scale"].shape[0]
+        for i in range(len(model.pool_size))
+    ]
+    widecin_in = [False] * (len(model.pool_size) + 1)
+    for i in range(1, len(model.pool_size)):
+        widecin_in[i] = (
+            dtype == jnp.bfloat16
+            and couts[i - 1] % 8 == 0
+            and f_seq[i] % int(model.pool_size[i][0]) == 0
+        )
+    h_layout = "X"  # channel-last / pre-transposed entry
     for i, pool in enumerate(model.pool_size):
         conv_p = params[f"cnn_{i}"]
         kernel = _frontend_kernel(conv_p).astype(dtype)
@@ -208,45 +228,50 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
             conv_p, params[f"cnn_bn_{i}"], stats[f"cnn_bn_{i}"]
         )
         pre_t = first_pre_transposed and i == 0
-        cin = h.shape[-2] if (pre_t or h_is_ct) else h.shape[-1]
-        # stay in the smallcin kernels' native channel-on-sublane (CT)
-        # layout across the whole CNN: the b64 serving trace spent 14 ms
-        # relaying stage 1's output to channel-last plus 49 ms in the XLA
-        # stage-2 conv fusion; the CT chain removes the relayout and fuses
-        # conv+BN+ReLU+pool per stage (BENCH.md round 3).
-        ct_next = dtype == jnp.bfloat16 and i + 1 < len(model.pool_size)
-        if h_is_ct:
-            if cin % 8 == 0 and h.shape[1] % int(pool[0]) == 0:
+        ct_in = h_layout in {"CT", "CTH"}
+        cin = h.shape[-2] if (pre_t or ct_in) else h.shape[-1]
+        if ct_in:
+            if widecin_in[i]:
                 h = conv2d_widecin_ct_bn_relu_fpool(
                     h, t_full, kernel, scale, bias, pool_f=int(pool[0]),
-                    interpret=interpret,
+                    interpret=interpret, pre_halo=h_layout == "CTH",
                 )
+                h_layout = "CT"
                 continue
             # structural fallback: convert once to channel-last
+            if h_layout == "CTH":
+                h = h[:, 1:-1, :, CT_HALO:-CT_HALO]
             h = jnp.transpose(h[..., :t_full], (0, 1, 3, 2))
-            h_is_ct = False
+            h_layout = "X"
         if cin <= 8 and smallcin_impl == "thin":
             # thin pack: 1/4 the packed bytes; the wide pack's 3x shifted
             # copy build was the largest op on the b32 serving trace
-            # (24.5 ms, BENCH.md round 3)
+            # (24.5 ms, BENCH.md round 3). When the next stage runs widecin,
+            # emit the halo'd CTH buffer it consumes directly.
+            layout = (
+                ("CTH" if ct_handoff == "halo" else "CT")
+                if widecin_in[i + 1] else "FTC"
+            )
             h = conv2d_smallcin_thin_bn_relu_fpool(
                 h, kernel, scale, bias, pool_f=int(pool[0]),
                 interpret=interpret, pre_transposed=pre_t,
-                out_layout="CT" if ct_next else "FTC",
+                out_layout=layout,
             )
-            h_is_ct = ct_next
+            h_layout = layout if layout != "FTC" else "X"
         elif 3 * cin <= 32:
+            layout = "CT" if widecin_in[i + 1] else "FTC"
             h = conv2d_smallcin_bn_relu_fpool(
                 h, kernel, scale, bias, pool_f=int(pool[0]),
                 interpret=interpret, pre_transposed=pre_t,
-                out_layout="CT" if ct_next else "FTC",
+                out_layout=layout,
             )
-            h_is_ct = ct_next
+            h_layout = layout if layout != "FTC" else "X"
         else:
             y = conv_nd(h, kernel, None, padding=1)
             y = jnp.maximum(y * scale.astype(dtype) + bias.astype(dtype), 0.0)
             h = max_pool_2d(y, (int(pool[0]), 1))
-    if h_is_ct:
+            h_layout = "X"
+    if h_layout == "CT":
         # channel-major flatten straight from CT: (B, F, C, T) ->
         # (B, T, C*F), matching the reference's permute+reshape order
         b, f, c, _ = h.shape
@@ -260,7 +285,8 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
 
 
 def fused_infer(model, variables, x, interpret: bool = False,
-                input_layout: str = "BCFT", smallcin_impl: str = "thin"):
+                input_layout: str = "BCFT", smallcin_impl: str = "thin",
+                ct_handoff: str = "halo"):
     """(sed, doa) for a SELDModel, Pallas-fused frontend.
 
     Supports the single-trunk configs AND the 2Parallel / parallel_magphase
@@ -307,11 +333,11 @@ def fused_infer(model, variables, x, interpret: bool = False,
             [
                 _fused_trunk(
                     model, all_p["branch_A"], all_s.get("branch_A", {}),
-                    x_a, dtype, interpret, input_layout, smallcin_impl,
+                    x_a, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
                 ),
                 _fused_trunk(
                     model, all_p["branch_B"], all_s.get("branch_B", {}),
-                    x_b, dtype, interpret, input_layout, smallcin_impl,
+                    x_b, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
                 ),
             ],
             axis=-1,
@@ -319,7 +345,7 @@ def fused_infer(model, variables, x, interpret: bool = False,
     else:
         h = _fused_trunk(
             model, all_p["seld_block"], all_s.get("seld_block", {}),
-            x, dtype, interpret, input_layout, smallcin_impl,
+            x, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
         )
 
     cdom = model.classifier_domain

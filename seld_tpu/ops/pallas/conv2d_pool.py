@@ -164,16 +164,59 @@ def conv2d_im2col_bn_relu_fpool(
     )(patches, w.reshape(k, cout), scale.reshape(1, cout), bias.reshape(1, cout))
 
 
-def _zero_pad_cols(out, mask_t, tt):
+# Lane-tile constant of the halo'd CT chain (``out_layout='CTH'``): producers
+# emit (B, F//pf + 2, C, CT_HALO + tpad + CT_HALO) with the conv's F halo rows
+# and a CT_HALO-lane zero halo each side, so the consuming widecin stage reads
+# its (tt+256)-lane windows straight out of the producer's output — no XLA
+# pad copy between CNN stages (12.6 + 2.0 ms and a duplicate ~6 GB buffer at
+# b64/b96, BENCH.md round-3 trace). 384 = the widecin block width: the halo
+# doubles as one border block of the producer's extended grid.
+CT_HALO = 384
+
+
+def _zero_pad_cols(out, mask_t, tt, tile_off=0):
     """Zero output columns >= mask_t (the grid's lane-tile offset rides
-    program_id(2)). The packed tpad region would otherwise hold
-    relu(bias) != 0 — consumers reading the raw channel-on-sublane output
-    (``out_layout='CT'``) rely on those columns being exact conv zero-pad."""
+    program_id(2); ``tile_off`` shifts it for halo'd output grids whose
+    first data tile is program 1). The packed tpad region would otherwise
+    hold relu(bias) != 0 — consumers reading the raw channel-on-sublane
+    output (``out_layout='CT'``/``'CTH'``) rely on those columns being
+    exact conv zero-pad."""
     if mask_t is None:
         return out
-    col0 = pl.program_id(2) * tt
+    col0 = (pl.program_id(2) - tile_off) * tt
     idx = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, out.shape[-1]), 1)
     return jnp.where(idx < mask_t, out, 0.0)
+
+
+def _halo_border():
+    """Border predicate of a CTH-extended (b, nf+2, nt+2) grid: the first/
+    last F row blocks and first/last lane tiles are the halo — written as
+    zeros (they are the next stage's conv zero-padding)."""
+    fo, ti = pl.program_id(1), pl.program_id(2)
+    return (
+        (fo == 0) | (fo == pl.num_programs(1) - 1)
+        | (ti == 0) | (ti == pl.num_programs(2) - 1)
+    )
+
+
+def _halo_pad_ct(out_ct, t, f_rows):
+    """XLA emulation of the CTH layout from a plain CT output — the
+    interpret-mode path (Element-indexed halo grids don't interpret) and the
+    contract documentation in one place: (B, F', C, tpad_i) ->
+    (B, F'+2, C, CT_HALO + tpad_h + CT_HALO), tpad_h = ceil(t/CT_HALO)*CT_HALO.
+    Columns >= t of ``out_ct`` must already be zero (the kernels' mask_t)."""
+    del f_rows
+    tpad_h = -(-t // CT_HALO) * CT_HALO
+    tpad_i = out_ct.shape[-1]
+    if tpad_i > tpad_h:
+        out_ct = out_ct[..., :tpad_h]  # cols >= t are zero by contract
+    return jnp.pad(
+        out_ct,
+        (
+            (0, 0), (1, 1), (0, 0),
+            (CT_HALO, CT_HALO + max(0, tpad_h - tpad_i)),
+        ),
+    )
 
 
 def _smallcin_kernel(p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, kg,
@@ -436,6 +479,7 @@ def smallcin_thin_pack(
     block_t: int = 2560,
     pre_transposed: bool = False,
     force_tt: int | None = None,
+    halo_grid: int = 0,
 ):
     """Thin packer: NO time-shift duplication (1/4 of :func:`smallcin_pack`'s
     bytes — that pack's 3x lane-shifted copy build measured 24.5 ms/b32 on
@@ -449,6 +493,12 @@ def smallcin_thin_pack(
         dx-shift halo; doubles as the conv's time zero-pad);
       wk (Cout, 72): rows ordered (dx, dy, c8) to match the kernel's
         stack-of-rolled-slices assembly.
+
+    ``halo_grid=pf`` builds the EXTENDED pack for the CTH output mode: the
+    consuming grid gains one border block per edge ((b, nf+2, nt+2)), so the
+    pack prepends/appends ``pf`` extra zero F rows and one extra ``tt`` lane
+    tile each side — keeping every Element window start affine
+    (``fo*pf`` / ``ti*tt``) and in-bounds without index clamping.
     """
     if pre_transposed:
         b, f, cin, t = x.shape
@@ -457,11 +507,19 @@ def smallcin_thin_pack(
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert cin <= 8, f"thin smallcin pack needs cin <= 8, got {cin}"
-    tpad, tt = smallcin_thin_meta(t, block_t, force_tt=force_tt)
+    if halo_grid:
+        # CTH contract: the lane tile IS the halo width — no small-t clamp,
+        # so consumers always see (CT_HALO + ceil(t/CT_HALO)*CT_HALO + CT_HALO)
+        assert force_tt is not None
+        tpad, tt = -(-t // force_tt) * force_tt, force_tt
+    else:
+        tpad, tt = smallcin_thin_meta(t, block_t, force_tt=force_tt)
     xt = x if pre_transposed else jnp.transpose(x, (0, 1, 3, 2))
+    fh = 1 + halo_grid  # conv halo row + halo_grid extra border-block rows
+    th = 128 + (tt if halo_grid else 0)
     pt = jnp.pad(
-        xt, ((0, 0), (1, 1), (0, 8 - cin), (128, 128 + tpad - t))
-    )  # (B, F+2, 8, 128+tpad+128)
+        xt, ((0, 0), (fh, fh), (0, 8 - cin), (th, th + tpad - t))
+    )  # (B, F+2*fh, 8, th+tpad+th)
     wt = jnp.pad(w, ((0, 0), (0, 0), (0, 8 - cin), (0, 0)))  # (dy, dx, c8, o)
     wk = jnp.transpose(wt, (1, 0, 2, 3)).reshape(72, cout).T  # (o, (dx,dy,c8))
     return pt, wk, (b, f, t, cin, cout, tpad, tt)
@@ -515,26 +573,47 @@ def smallcin_thin_bands_spec(pf: int, tpad: int):
 
 
 def _smallcin_thin_kernel(
-    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False, mask_t=None
+    p_ref, w_ref, s_ref, b_ref, o_ref, *, pf, tt, stacked=False, mask_t=None,
+    halo=False,
 ):
     """Thin-pack kernel body: p (1, pf+2, 8, tt+256) — c on sublanes, lane
     halo 128 each side. Builds the (72, tt) (dx, dy, c8) operand per pool
     row from three lane-offset value slices (f32 — 8-row-aligned sublane
     concat; bf16's 16-row tile would misalign the 24-row pieces), casts to
-    the weights' dtype for the MXU dot, and fuses affine+ReLU+freq-pool."""
-    scale = s_ref[...]
-    bias = b_ref[...]
-    out = None
-    for r in range(pf):
-        block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
-        stack = smallcin_thin_stack(block, tt, w_ref.dtype)  # (72, tt)
-        acc = jax.lax.dot_general(
-            w_ref[...], stack, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (cout, tt)
-        y = jnp.maximum(acc * scale + bias, 0.0)
-        out = y if out is None else jnp.maximum(out, y)
-    o_ref[0, 0] = _zero_pad_cols(out, mask_t, tt).astype(o_ref.dtype)
+    the weights' dtype for the MXU dot, and fuses affine+ReLU+freq-pool.
+
+    ``halo=True`` runs the CTH-extended grid: border blocks (first/last F
+    row, first/last lane tile) write zeros — the emitted buffer IS the next
+    widecin stage's halo'd input, no XLA pad in between."""
+
+    def compute():
+        scale = s_ref[...]
+        bias = b_ref[...]
+        out = None
+        for r in range(pf):
+            block = p_ref[0, 0, r : r + 3] if stacked else p_ref[0, r : r + 3]
+            stack = smallcin_thin_stack(block, tt, w_ref.dtype)  # (72, tt)
+            acc = jax.lax.dot_general(
+                w_ref[...], stack, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (cout, tt)
+            y = jnp.maximum(acc * scale + bias, 0.0)
+            out = y if out is None else jnp.maximum(out, y)
+        return _zero_pad_cols(
+            out, mask_t, tt, tile_off=1 if halo else 0
+        ).astype(o_ref.dtype)
+
+    if not halo:
+        o_ref[0, 0] = compute()
+        return
+
+    @pl.when(_halo_border())
+    def _border():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+    @pl.when(~_halo_border())
+    def _interior():
+        o_ref[0, 0] = compute()
 
 
 def conv2d_smallcin_thin_bn_relu_fpool(
@@ -552,7 +631,58 @@ def conv2d_smallcin_thin_bn_relu_fpool(
     pack: 1/4 the packed bytes, dx taps assembled in-kernel (one K=72 MXU
     dot per pool row, same pass count as the wide pack's K=96).
     ``out_layout='CT'`` as on the wide wrapper: raw zero-masked
-    (B, F//pf, Cout, T_pad) channel-on-sublane output."""
+    (B, F//pf, Cout, T_pad) channel-on-sublane output.
+
+    ``out_layout='CTH'`` emits the halo'd CT buffer the next widecin stage
+    consumes directly (``pre_halo=True``): (B, F//pf + 2, Cout,
+    CT_HALO + tpad + CT_HALO) with zero borders, written by one extended
+    grid — replacing the XLA pad copy between CNN stages (12.6 ms and a
+    duplicate ~6 GB buffer at b64, BENCH.md round-3 trace)."""
+    if out_layout == "CTH":
+        if interpret:
+            out_ct = conv2d_smallcin_thin_bn_relu_fpool(
+                x, w, scale, bias, pool_f, block_t=block_t, interpret=True,
+                pre_transposed=pre_transposed, out_layout="CT",
+            )
+            t = x.shape[-1] if pre_transposed else x.shape[-2]
+            return _halo_pad_ct(out_ct, t, None)
+        pt, wk, (b, f, t, cin, cout, tpad, tt) = smallcin_thin_pack(
+            x, w, force_tt=CT_HALO, pre_transposed=pre_transposed,
+            halo_grid=pool_f,
+        )
+        assert f % pool_f == 0, (f, pool_f)
+        pf = pool_f
+        nf, nt = f // pf, tpad // tt
+        out = pl.pallas_call(
+            functools.partial(
+                _smallcin_thin_kernel, pf=pf, tt=tt, mask_t=t, halo=True
+            ),
+            grid=(b, nf + 2, nt + 2),
+            in_specs=[
+                smallcin_thin_window_spec(pf, tt),
+                pl.BlockSpec((cout, 72), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cout, 1), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nf + 2, cout, (nt + 2) * tt), x.dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * f * tpad * 72 * cout,
+                bytes_accessed=(b * f * tpad * 8 + b * (nf + 2) * (nt + 2) * tt * cout)
+                * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(
+            pt, wk,
+            scale.astype(jnp.float32).reshape(cout, 1),
+            bias.astype(jnp.float32).reshape(cout, 1),
+        )
+        return out
     pt, wk, (b, f, t, cin, cout, tpad, tt) = smallcin_thin_pack(
         x, w, block_t=block_t, pre_transposed=pre_transposed
     )
@@ -694,14 +824,23 @@ def widecin_ct_pack(h: jnp.ndarray, t: int, tt: int) -> jnp.ndarray:
     return jnp.pad(h, ((0, 0), (1, 1), (0, 0), (128, 128 + tpad - min(tin, tpad))))
 
 
-def widecin_ct_window_spec(pf: int, c: int, tt: int):
+def widecin_ct_window_spec(pf: int, c: int, tt: int, lane_off: int = 0):
     """Element-indexed overlapping window: pf+2 F rows, tt+256 lanes (the
-    128-lane dx halo each side; lane starts ti*tt stay 128-aligned)."""
+    128-lane dx halo each side; lane starts ti*tt stay 128-aligned).
+    ``lane_off`` shifts the window into a CTH producer's halo'd buffer
+    (``pre_halo``): starts become lane_off + ti*tt, still 128-aligned —
+    written as (ti*(tt/128) + lane_off/128) * 128 because Mosaic's
+    window-param prover accepts mul-by-constant but NOT add-of-constant
+    ("Couldn't prove that tiling (128) divides index", probed on chip)."""
+    assert lane_off % 128 == 0 and tt % 128 == 0, (lane_off, tt)
+    k, off = tt // 128, lane_off // 128
     return pl.BlockSpec(
         (pl.Element(1), pl.Element(pf + 2), pl.Element(c), pl.Element(tt + 256)),
-        lambda b, fo, ti: (b, fo * pf, 0, ti * tt),
+        lambda b, fo, ti: (b, fo * pf, 0, (ti * k + off) * 128),
         memory_space=pltpu.VMEM,
     )
+
+
 
 
 def _widecin_ct_kernel(
@@ -713,28 +852,25 @@ def _widecin_ct_kernel(
     stage-1 kernels' native output layout), so no (T, C) relayout ever
     happens between CNN stages — at b64 the XLA formulation spent 14 ms
     relaying stage-1's output plus 49 ms in a channel-last conv fusion
-    (serving trace, BENCH.md round 3). Each dx tap is a ``pltpu.roll``
-    cyclic lane rotate of a physical row (hoisted per row — each of the
-    pf+2 rows is rolled exactly 3x and reused by every pool row touching
-    it); the conv is 9 K=C MXU dots per pool row with the BN affine, ReLU
-    and frequency max-pool fused. Reference stage semantics:
+    (serving trace, BENCH.md round 3). Each dx tap is a lane-MISALIGNED
+    value slice of a physical row fed straight to its own dot — Mosaic
+    accepts offset-127/1 dot operands (probed on chip,
+    tools/check_pallas_compile.py::probe_misaligned_slice_dot); only
+    tpu.concatenate rejects mismatched lane offsets, and nothing here
+    concatenates. (The previous f32 ``pltpu.roll`` round-trip per tap was
+    working around the concat constraint this kernel never had.) The conv
+    is 9 K=C MXU dots per pool row with the BN affine, ReLU and frequency
+    max-pool fused. Reference stage semantics:
     /root/reference/model.py:261-287.
     """
     scale = s_ref[...]
     bias = b_ref[...]
     rows = p_ref[0, 0] if stacked else p_ref[0]  # (pf+2, C, tt+256)
-    n = rows.shape[-1]
 
-    def tap(k, dx):
-        # dx=1 is the unshifted tap: a plain 128-aligned slice. The shifted
-        # taps go through pltpu.roll, which only lowers for 32-bit data
-        # ("Rotate with non-32-bit data") — f32 round-trip for bf16 inputs.
-        if dx == 1:
-            return rows[k][:, 128 : 128 + tt]
-        r = pltpu.roll(rows[k].astype(jnp.float32), (1 - dx) % n, 1)
-        return r[:, 128 : 128 + tt].astype(rows.dtype)
-
-    rolled = [[tap(k, dx) for dx in range(3)] for k in range(pf + 2)]
+    rolled = [
+        [rows[k][:, 127 + dx : 127 + dx + tt] for dx in range(3)]
+        for k in range(pf + 2)
+    ]
     out = None
     for r in range(pf):
         acc = None
@@ -760,6 +896,7 @@ def conv2d_widecin_ct_bn_relu_fpool(
     pool_f: int,
     block_t: int = 384,
     interpret: bool = False,
+    pre_halo: bool = False,
 ) -> jnp.ndarray:
     """h (B, F, C, T_pad) channel-on-sublane with columns >= t zero (a CT
     output of the smallcin kernels or of this op), w (3, 3, C, Cout) ->
@@ -767,8 +904,15 @@ def conv2d_widecin_ct_bn_relu_fpool(
 
     maxpool_f(relu(conv2d * scale + bias)) for WIDE channel counts
     (C % 8 == 0), staying in the CT layout between CNN stages. The caller
-    slices [..., :t] only at the trunk's end."""
-    b, f, c, tin = h.shape
+    slices [..., :t] only at the trunk's end.
+
+    ``pre_halo=True`` takes h ALREADY in the halo'd CTH layout a producer's
+    ``out_layout='CTH'`` emits — (B, F+2, C, CT_HALO + tpad_h + CT_HALO)
+    with zero borders — and reads its windows straight from it, skipping
+    :func:`widecin_ct_pack` entirely (the 12.6 ms / ~6 GB stage-handoff pad
+    at b64, BENCH.md round-3 trace). Requires ``block_t == CT_HALO``."""
+    b, fin, c, tin = h.shape
+    f = fin - 2 if pre_halo else fin
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, c), w.shape
     assert f % pool_f == 0, (f, pool_f)
@@ -776,7 +920,22 @@ def conv2d_widecin_ct_bn_relu_fpool(
     assert block_t % 128 == 0, block_t
     tt = min(block_t, -(-t // 128) * 128)
     tpad = -(-t // tt) * tt
-    p = widecin_ct_pack(h, t, tt)
+    if pre_halo:
+        assert block_t == CT_HALO, (block_t, CT_HALO)
+        tpad_h = -(-t // CT_HALO) * CT_HALO
+        assert tin == 2 * CT_HALO + tpad_h, (tin, tpad_h)
+        # last window must stay in-bounds: CT_HALO-128 + tpad + tt+256 <= tin
+        assert tpad <= tpad_h + CT_HALO - 128, (tpad, tpad_h)
+        if interpret:
+            # Element windows don't interpret — slice the halo back off and
+            # run the plain CT path (bit-identical: borders are zeros)
+            return conv2d_widecin_ct_bn_relu_fpool(
+                h[:, 1:-1, :, CT_HALO:-CT_HALO], t, w, scale, bias, pool_f,
+                block_t=block_t, interpret=True,
+            )
+        p = h
+    else:
+        p = widecin_ct_pack(h, t, tt)
     pf = pool_f
     args = (
         w,
@@ -804,7 +963,12 @@ def conv2d_widecin_ct_bn_relu_fpool(
         out = pl.pallas_call(
             functools.partial(_widecin_ct_kernel, pf=pf, tt=tt, mask_t=t),
             grid=(b, f // pf, tpad // tt),
-            in_specs=[widecin_ct_window_spec(pf, c, tt), *tail_specs],
+            in_specs=[
+                widecin_ct_window_spec(
+                    pf, c, tt, lane_off=CT_HALO - 128 if pre_halo else 0
+                ),
+                *tail_specs,
+            ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b, f // pf, cout, tpad), h.dtype),
             cost_estimate=cost,

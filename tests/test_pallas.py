@@ -480,6 +480,54 @@ def test_smallcin_ct_chain_matches_ftc(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def test_smallcin_cth_halo_chain_matches_ftc(rng):
+    """thin smallcin(out_layout='CTH') -> widecin(pre_halo=True) == the
+    plain FTC -> XLA composition: the halo'd handoff (no XLA pad between CNN
+    stages, BENCH.md round-3 trace) is layout plumbing only. Also pins the
+    CTH buffer contract: zero borders, CT_HALO-lane halos."""
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        CT_HALO,
+        conv2d_smallcin_thin_bn_relu_fpool,
+        conv2d_widecin_ct_bn_relu_fpool,
+    )
+
+    b, f, t, cin, c1, c2, pf = 2, 16, 72, 8, 16, 24, 2
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)).astype(np.float32) * 0.2)
+    s1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+
+    h1 = conv2d_smallcin_thin_bn_relu_fpool(x, w1, s1, b1, pool_f=pf, interpret=True)
+    y = jax.lax.conv_general_dilated(
+        h1, w2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jnp.maximum(y * s2 + b2, 0.0)
+    want = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, pf, 1, 1), (1, pf, 1, 1), "VALID"
+    )
+
+    h1_cth = conv2d_smallcin_thin_bn_relu_fpool(
+        x, w1, s1, b1, pool_f=pf, interpret=True, out_layout="CTH"
+    )
+    tpad_h = -(-t // CT_HALO) * CT_HALO
+    assert h1_cth.shape == (b, f // pf + 2, c1, 2 * CT_HALO + tpad_h)
+    # borders are exact zeros (they are the consumer's conv zero-padding)
+    assert not np.any(np.asarray(h1_cth[:, 0]))
+    assert not np.any(np.asarray(h1_cth[:, -1]))
+    assert not np.any(np.asarray(h1_cth[..., :CT_HALO]))
+    assert not np.any(np.asarray(h1_cth[..., CT_HALO + t :]))
+    out_ct = conv2d_widecin_ct_bn_relu_fpool(
+        h1_cth, t, w2, s2, b2, pool_f=pf, interpret=True,
+        block_t=CT_HALO, pre_halo=True,
+    )
+    got = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
 def test_fused_infer_bf16_ct_chain_matches_apply(rng):
     """The bf16 serving path routes wide CNN stages through the CT-layout
     widecin kernel (no channel-last relayout between stages) — outputs must

@@ -159,6 +159,111 @@ def exec_widecin_ct_vs_xla():
         FAILS.append("widecin-ct exec-compare")
 
 
+def exec_cth_chain_vs_ct():
+    """Execute-and-compare the halo'd CTH handoff on the chip: thin
+    smallcin(out_layout='CTH') -> widecin(pre_halo=True) must match the
+    pad-based CT chain bit-for-bit. The compiled CTH path (extended grid,
+    pl.when border zeroing, offset Element windows) never runs under the
+    interpreter — only a chip execution validates it."""
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        CT_HALO,
+        conv2d_smallcin_thin_bn_relu_fpool,
+        conv2d_widecin_ct_bn_relu_fpool,
+    )
+
+    rng = np.random.default_rng(11)
+    b, f, t, cin, c1, c2, pf = 2, 32, 640, 8, 32, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, cin)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(c1).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(c2).astype(np.float32))
+    try:
+        @jax.jit
+        def chain_cth(x, w1, s1, b1, w2, s2, b2):
+            h = conv2d_smallcin_thin_bn_relu_fpool(
+                x, w1, s1, b1, pool_f=pf, out_layout="CTH"
+            )
+            return h, conv2d_widecin_ct_bn_relu_fpool(
+                h, t, w2, s2, b2, pool_f=4, block_t=CT_HALO, pre_halo=True
+            )
+
+        @jax.jit
+        def chain_ct(x, w1, s1, b1, w2, s2, b2):
+            h = conv2d_smallcin_thin_bn_relu_fpool(
+                x, w1, s1, b1, pool_f=pf, out_layout="CT"
+            )
+            return conv2d_widecin_ct_bn_relu_fpool(
+                h, t, w2, s2, b2, pool_f=4, block_t=CT_HALO
+            )
+
+        h_cth, got = chain_cth(x, w1, s1, b1, w2, s2, b2)
+        want = np.asarray(chain_ct(x, w1, s1, b1, w2, s2, b2))
+        h_cth = np.asarray(h_cth)
+        tpad_h = -(-t // CT_HALO) * CT_HALO
+        assert h_cth.shape == (b, f // pf + 2, c1, 2 * CT_HALO + tpad_h), h_cth.shape
+        assert not h_cth[:, 0].any() and not h_cth[:, -1].any(), "F borders"
+        assert not h_cth[..., :CT_HALO].any(), "lane halo"
+        assert not h_cth[..., CT_HALO + t :].any(), "tail zeros"
+        np.testing.assert_array_equal(np.asarray(got), want)
+        print("OK    CTH halo chain EXECUTES == pad-based CT chain", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  CTH-chain execute-and-compare: {msg}", flush=True)
+        FAILS.append("cth-chain exec-compare")
+
+
+def probe_misaligned_slice_dot():
+    """PROBE (not a gate): can a Mosaic dot consume a lane-MISALIGNED value
+    slice directly? The widecin kernel currently pays an f32 pltpu.roll
+    round-trip per dx tap because tpu.concatenate rejects mismatched lane
+    offsets — but widecin feeds each tap to its OWN dot (no concat), so if
+    dots accept offset-127/1 slices the rolls can go."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, w_ref, o_ref):
+        acc = None
+        for dx in range(3):
+            tap = x_ref[0][:, 127 + dx : 127 + dx + 256]  # lane offsets 127/0/1
+            d = jax.lax.dot_general(
+                w_ref[dx], tap, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 16, 512)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 16, 32)).astype(np.float32)).astype(jnp.bfloat16)
+    try:
+        out = pl.pallas_call(
+            kern,
+            grid=(2,),
+            in_specs=[
+                pl.BlockSpec((1, 16, 512), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 16, 32), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 32, 256), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, 32, 256), jnp.bfloat16),
+        )(x, w)
+        xf = np.asarray(x, np.float32)
+        wf = np.asarray(w, np.float32)
+        want = sum(
+            np.einsum("kc,bkt->bct", wf[dx], xf[:, :, 127 + dx : 127 + dx + 256])
+            for dx in range(3)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), want, atol=0.1, rtol=0.05
+        )
+        print("PROBE misaligned-slice dot: LOWERS and matches (rolls removable)", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"PROBE misaligned-slice dot: NO ({msg})", flush=True)
+
+
 def exec_train_stage_vs_xla():
     """Execute-and-compare the fused TRAIN-mode stage-1 op (fwd + custom-VJP
     grads) on the chip against the XLA composition — the real-TPU path uses
@@ -290,6 +395,29 @@ def main():
         shaped((4, 32, 192, 4864)), shaped((3, 3, 192, 192)),
         shaped((192,), jnp.float32), shaped((192,), jnp.float32),
     )
+    # halo'd CTH chain at flagship shapes: thin stage-1 emitting the halo'd
+    # buffer + widecin consuming it (pre_halo) — no XLA pad between stages
+    from seld_tpu.ops.pallas.conv2d_pool import (
+        CT_HALO,
+        conv2d_smallcin_thin_bn_relu_fpool,
+    )
+
+    check(
+        "conv2d_smallcin_thin CTH out (stage1 bf16)",
+        lambda x, w, s, b: conv2d_smallcin_thin_bn_relu_fpool(
+            x, w, s, b, pool_f=8, out_layout="CTH"
+        ),
+        shaped((B, 256, 4800, 8)), shaped((3, 3, 8, 192)),
+        shaped((192,), jnp.float32), shaped((192,), jnp.float32),
+    )
+    check(
+        "conv2d_widecin_ct pre_halo (stage2 CTH bf16)",
+        lambda h, w, s, b: conv2d_widecin_ct_bn_relu_fpool(
+            h, 4800, w, s, b, pool_f=8, block_t=CT_HALO, pre_halo=True
+        ),
+        shaped((4, 34, 192, 2 * CT_HALO + 4992)), shaped((3, 3, 192, 192)),
+        shaped((192,), jnp.float32), shaped((192,), jnp.float32),
+    )
     # flash attention fwd+bwd at the TCN's T=2400, H=8, D=48
     check(
         "flash_attention fwd (T=2400 bf16)",
@@ -358,6 +486,8 @@ def main():
     exec_smallcin_vs_xla()
     exec_smallcin_thin_vs_xla()
     exec_widecin_ct_vs_xla()
+    exec_cth_chain_vs_ct()
+    probe_misaligned_slice_dot()
     exec_train_stage_vs_xla()
     exec_stft_vs_fft()
 

@@ -53,7 +53,7 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
         jax.random.PRNGKey(0), x0
     )
 
-    layout = os.environ.get("PT_LAYOUT", "FT")  # FT (serving default) | TF
+    layout = os.environ.get("PT_LAYOUT", "TF")  # TF (serving default) | FT
 
     @jax.jit
     def pipeline(variables, audio):
@@ -123,6 +123,12 @@ def parse_traces(log_dir: str, n_iters: int):
     files = glob.glob(
         os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
     ) + glob.glob(os.path.join(log_dir, "**", "*.trace.json"), recursive=True)
+    if len(files) > 1:
+        # jax.profiler writes one timestamped subdir per capture; a reused
+        # log_dir accumulates them and merging runs double-counts ops (and
+        # mixes old program versions into the table) — parse only the newest
+        files = [max(files, key=os.path.getmtime)]
+        print(f"(multiple captures under {log_dir}; parsing newest only)")
     if not files:
         print(f"NO trace json found under {log_dir}; contents:")
         for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True):
