@@ -89,9 +89,19 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         # (ops/pallas/quant.py); frontend/STFT stay bf16
         model = dataclasses.replace(model, qconv_impl="int8")
     sr, secs = 32000, 60
-    audio = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 8, sr * secs)).astype(np.float32)
-    )
+    audio_np = np.random.default_rng(0).standard_normal(
+        (batch, 8, sr * secs)
+    ).astype(np.float32)
+    if impl == "fused":
+        # pre-group the audio for the STFT kernel's grouped-input mode — a
+        # free host-side reshape that replaces the in-jit full-tensor
+        # front-pad + 2D->3D relayout (2 x 5.57 GB f32 at b96, the serving
+        # memory ceiling; BENCH.md round 3)
+        from seld_tpu.ops.pallas.stft import stft_group_size
+
+        group = stft_group_size(512, 112)
+        audio_np = audio_np.reshape(batch, 8, (sr * secs) // group, group)
+    audio = jnp.asarray(audio_np)
     x0 = jnp.zeros((batch, 8, 256, 4800), jnp.float32)
     variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
         jax.random.PRNGKey(0), x0
@@ -116,7 +126,8 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
 
                 sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
                 feats = stft_mag_pallas(
-                    audio, nperseg=512, noverlap=112, out_dtype=sdt
+                    audio, nperseg=512, noverlap=112, out_dtype=sdt,
+                    grouped_input=audio.ndim == 4,
                 )
                 return fused_infer(
                     model, variables, feats, input_layout="BCTF",

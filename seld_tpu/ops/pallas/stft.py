@@ -71,9 +71,56 @@ def _shifted_dft_tables(nperseg: int, hop: int, fpg: int, n_bins: int):
     return tables.astype(np.float32), head.astype(np.float32), wrows, offs
 
 
+def _grouped_dft_tables(nperseg: int, hop: int, fpg: int, n_bins: int):
+    """DFT tables for the GROUPED input mode: the scipy zero-boundary shift
+    of ``half = nperseg//2`` samples is folded into the tables (every frame's
+    group-local start moves to ``hop*df - half``) instead of an XLA front-pad
+    of the flat audio — which cost a full-tensor pad + a 2D->3D relayout copy
+    (2 x 5.57 GB f32 at b96, the serving memory ceiling; BENCH.md round 3).
+
+    Because ``half % 128 == 0``, the per-frame lane offsets are unchanged;
+    frame 0 is the only one reaching back (into the PREVIOUS group row's last
+    ``half`` lanes — the separate tail table), and the old last-frame forward
+    spill disappears (the support predicate requires it to fit in ``half``).
+
+    Returns (tables, tail, wrows, starts, wd): ``starts[df]`` the 128-aligned
+    in-group lane start, ``wd[df]`` the 128-multiple dot depth.
+    """
+    win = 0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
+    t = np.arange(nperseg)[:, None]
+    k = np.arange(1, n_bins + 1)[None, :]
+    angle = 2.0 * np.pi * t * k / nperseg
+    scale = win[:, None] / win.sum()
+    m = np.concatenate(
+        [np.cos(angle) * scale, np.sin(angle) * scale], axis=1
+    )  # (nperseg, 2F)
+    half = nperseg // 2
+    assert half % 128 == 0, half
+    group = hop * fpg
+    starts, wd, fills = [0], None, [(0, m[half:])]
+    for df in range(1, fpg):
+        s = hop * df - half
+        assert 0 <= s and s + nperseg <= group, (df, s)
+        off = s % 128
+        starts.append(s - off)
+        fills.append((off, m))
+    wrows = -(-max(off + mm.shape[0] for off, mm in fills) // 128) * 128
+    tables = np.zeros((fpg, wrows, 2 * n_bins), np.float64)
+    for df, (off, mm) in enumerate(fills):
+        tables[df, off : off + mm.shape[0]] = mm
+    wd = tuple(
+        min(wrows, -(-(off + mm.shape[0]) // 128) * 128) for off, mm in fills
+    )
+    tail = m[:half]  # prev-group taps of frame 0 (the boundary shift)
+    return (
+        tables.astype(np.float32), tail.astype(np.float32), wrows,
+        tuple(starts), wd,
+    )
+
+
 def _stft_kernel(
     x_ref, w_ref, wh_ref, o_ref, *, fpg, wrows, starts, n_bins, gt,
-    transpose_out=False,
+    transpose_out=False, grouped=False, wd=None,
 ):
     """x (Gt+1, group) -> o (Gt*fpg, n_bins) magnitudes — or, with
     ``transpose_out``, o (n_bins, Gt*fpg): one in-VMEM transpose per tile
@@ -82,25 +129,40 @@ def _stft_kernel(
     XLA relayout the BCTF handoff paid (BENCH.md round-3 trace).
 
     starts[df]: 128-aligned lane start of frame df's table rows.
+
+    ``grouped``: the boundary-shifted table mode (:func:`_grouped_dft_tables`)
+    — group g is block row g+1 (row 0 is the previous group / the boundary
+    zero row), frame 0 adds a tail dot on the PREVIOUS row's last lanes, and
+    there is no forward spill.
     """
     group = x_ref.shape[-1]
     # the audio arrives in its storage dtype (f32 on the serving path) and
     # is cast to the DFT tables' compute dtype HERE — folding the XLA-side
     # convert_bitcast_fusion + its relayout (8.6 + 6.8 ms at b64, BENCH.md
-    # round-3 trace) into the block read
+    # round-3 trace) into the block read. (The grouped mode pre-casts — its
+    # XLA-side pad is rows-only and writes the compute dtype directly.)
     xall = x_ref[0]
     if xall.dtype != w_ref.dtype:
         xall = xall.astype(w_ref.dtype)
+    base = 1 if grouped else 0
     mags = []
     for df in range(fpg):
         a0 = starts[df]
-        wdf = min(wrows, group - a0)  # last frame: stop at the group edge
-        xs = xall[:gt, a0 : a0 + wdf]  # (Gt, wdf) aligned
+        # dot depth: per-table for grouped; to the group edge otherwise
+        wdf = wd[df] if grouped else min(wrows, group - a0)
+        xs = xall[base : base + gt, a0 : a0 + wdf]  # (Gt, wdf) aligned
         y = jax.lax.dot_general(
             xs, w_ref[df, :wdf], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Gt, 2F)
-        if df == fpg - 1:
+        if grouped and df == 0:
+            # boundary-shifted frame 0: taps in the previous group's tail
+            xt = xall[:gt, group - wh_ref.shape[0] :]
+            y = y + jax.lax.dot_general(
+                xt, wh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if not grouped and df == fpg - 1:
             xh = xall[1 : gt + 1, : wh_ref.shape[0]]  # next group's head
             y = y + jax.lax.dot_general(
                 xh, wh_ref[...], (((1,), (0,)), ((), ())),
@@ -154,11 +216,35 @@ def stft_mag_supported(nperseg: int, noverlap: int, out_dtype=None) -> bool:
     return group <= 8192 and fpg * wrows * nperseg * tb <= 11 * 1024 * 1024
 
 
+def stft_group_size(nperseg: int, noverlap: int) -> int:
+    """Samples per frame group (``lcm(hop, 128)``) — the minor dim callers
+    use to pre-group audio for ``grouped_input=True``."""
+    hop = nperseg - noverlap
+    return hop * (128 // math.gcd(hop, 128))
+
+
+def stft_grouped_supported(nperseg: int, noverlap: int, out_dtype=None) -> bool:
+    """Envelope of the grouped-input mode (boundary shift folded into the
+    tables): additionally needs the half-window 128-aligned, every shifted
+    frame start in-group, and the old forward spill to fit in ``half``."""
+    if not stft_mag_supported(nperseg, noverlap, out_dtype):
+        return False
+    hop = nperseg - noverlap
+    half = nperseg // 2
+    fpg = 128 // math.gcd(hop, 128)
+    group = hop * fpg
+    if half % 128:
+        return False
+    if fpg > 1 and hop < half:  # frame 1 would still reach back
+        return False
+    return hop * (fpg - 1) - half + nperseg <= group
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nperseg", "noverlap", "out_dtype", "interpret", "block_groups",
-        "out_layout",
+        "out_layout", "grouped_input",
     ),
 )
 def stft_mag_pallas(
@@ -169,6 +255,7 @@ def stft_mag_pallas(
     interpret: bool = False,
     block_groups: int = 120,
     out_layout: str = "TF",
+    grouped_input: bool = False,
 ) -> jnp.ndarray:
     """x (..., n) f32 audio -> (..., T, F) STFT magnitudes, scipy semantics.
 
@@ -183,17 +270,37 @@ def stft_mag_pallas(
     layout the serving front-end's smallcin packer consumes, turning the
     downstream XLA handoff into a lane-preserving shuffle instead of a
     full relayout.
+
+    ``grouped_input=True`` takes x PRE-GROUPED as (..., G, group) with
+    ``group == stft_group_size(nperseg, noverlap)`` (a free host-side
+    reshape of (..., G*group) audio). The scipy zero boundary is folded
+    into the DFT tables (:func:`_grouped_dft_tables`) so the only XLA-side
+    prep is a rows-only cast+pad — replacing the flat path's full-tensor
+    front-pad + 2D->3D relayout copy (2 x 5.57 GB f32 at b96, the serving
+    memory ceiling; BENCH.md round 3). Requires
+    :func:`stft_grouped_supported`; output is numerically equivalent to
+    the flat path (frame 0's dot is split at the boundary, so f32 sums
+    may differ in the last ulp).
     """
-    lead = x.shape[:-1]
-    n = x.shape[-1]
-    rows = int(np.prod(lead)) if lead else 1
     hop = nperseg - noverlap
-    assert stft_mag_supported(nperseg, noverlap, out_dtype), (
-        nperseg, noverlap, out_dtype,
-    )
     fpg = 128 // math.gcd(hop, 128)
     group = hop * fpg
     n_bins = nperseg // 2
+    if grouped_input:
+        assert stft_grouped_supported(nperseg, noverlap, out_dtype), (
+            nperseg, noverlap, out_dtype,
+        )
+        assert x.shape[-1] == group, (x.shape, group)
+        lead = x.shape[:-2]
+        gdata = x.shape[-2]
+        n = gdata * group
+    else:
+        assert stft_mag_supported(nperseg, noverlap, out_dtype), (
+            nperseg, noverlap, out_dtype,
+        )
+        lead = x.shape[:-1]
+        n = x.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
 
     assert out_layout in {"TF", "FT"}, out_layout
     transpose_out = out_layout == "FT"
@@ -207,28 +314,45 @@ def stft_mag_pallas(
     gt = g if interpret else _pick_gt(g, block_groups, align)
     g_pad = -(-g // gt) * gt
 
-    tables, head, wrows, offs = _shifted_dft_tables(nperseg, hop, fpg, n_bins)
-    starts = tuple(hop * df - off for df, off in zip(range(fpg), offs))
     cdt = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
-    w = jnp.asarray(tables, cdt)
-    wh = jnp.asarray(head, cdt)
-
-    # scipy zero boundary + tail padding in the STORAGE dtype — the cast to
-    # the compute dtype happens inside the kernel's block read (saves the
-    # XLA convert + relayout of the ~1 GB audio at b64; the f32 block read
-    # costs 2x HBM bytes but the pad's copy was paying that anyway). The
-    # tiled path pads 8 extra group rows (not 1) so every Element tile's
-    # 8-row overlap stays in-bounds with an 8-aligned start (Mosaic window
-    # constraint).
     over = 1 if (interpret or g_pad == gt) else 8
-    npad = (g_pad + over) * group
-    xp = jnp.pad(x.reshape(rows, n), ((0, 0), (half, npad - n - half)))
-    xv = xp.reshape(rows, g_pad + over, group)
+    wd = None
+    if grouped_input:
+        tables, tail, wrows, starts, wd = _grouped_dft_tables(
+            nperseg, hop, fpg, n_bins
+        )
+        w = jnp.asarray(tables, cdt)
+        wh = jnp.asarray(tail, cdt)
+        # rows-only pad in the COMPUTE dtype (the convert fuses into the
+        # pad): 1 zero boundary row in front, alignment/garbage-frame rows
+        # behind. No lane shift, no relayout — the input's (G, group) tiling
+        # is already the kernel's.
+        back = g_pad - gdata + (7 if over == 8 else 0)
+        xv = jnp.pad(x.reshape(rows, gdata, group).astype(cdt),
+                     ((0, 0), (1, back), (0, 0)))
+    else:
+        tables, head, wrows, offs = _shifted_dft_tables(
+            nperseg, hop, fpg, n_bins
+        )
+        starts = tuple(hop * df - off for df, off in zip(range(fpg), offs))
+        w = jnp.asarray(tables, cdt)
+        wh = jnp.asarray(head, cdt)
+
+        # scipy zero boundary + tail padding in the STORAGE dtype — the cast
+        # to the compute dtype happens inside the kernel's block read (saves
+        # the XLA convert + relayout of the ~1 GB audio at b64; the f32 block
+        # read costs 2x HBM bytes but the pad's copy was paying that anyway).
+        # The tiled path pads 8 extra group rows (not 1) so every Element
+        # tile's 8-row overlap stays in-bounds with an 8-aligned start
+        # (Mosaic window constraint).
+        npad = (g_pad + over) * group
+        xp = jnp.pad(x.reshape(rows, n), ((0, 0), (half, npad - n - half)))
+        xv = xp.reshape(rows, g_pad + over, group)
 
     grid = (rows, g_pad // gt)
     kern = functools.partial(
         _stft_kernel, fpg=fpg, wrows=wrows, starts=starts, n_bins=n_bins, gt=gt,
-        transpose_out=transpose_out,
+        transpose_out=transpose_out, grouped=grouped_input, wd=wd,
     )
     wspec = pl.BlockSpec(w.shape, lambda r, gi: (0,) * w.ndim, memory_space=pltpu.VMEM)
     whspec = pl.BlockSpec(wh.shape, lambda r, gi: (0, 0), memory_space=pltpu.VMEM)
@@ -244,7 +368,7 @@ def stft_mag_pallas(
         oshape = jax.ShapeDtypeStruct((rows, g_pad * fpg, n_bins), out_dtype)
     cost = pl.CostEstimate(
         flops=2 * rows * g_pad * fpg * wrows * 2 * n_bins,
-        bytes_accessed=rows * npad * x.dtype.itemsize
+        bytes_accessed=rows * (g_pad + over) * group * xv.dtype.itemsize
         + rows * g_pad * fpg * n_bins * 2,
         transcendentals=0,
     )

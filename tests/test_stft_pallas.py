@@ -85,6 +85,65 @@ def test_stft_mag_ft_layout_matches_tf(rng):
     )
 
 
+@pytest.mark.parametrize(
+    "n,nperseg,noverlap",
+    [
+        (32000, 512, 112),    # canonical L3DAS21 hop 400, group 3200
+        (32000 * 3, 512, 112),
+        (16128, 512, 128),    # hop 384 lane-aligned -> fpg=1 (boundary
+                              # frame reaches back AND stays in-group)
+    ],
+)
+def test_stft_mag_grouped_matches_flat(rng, n, nperseg, noverlap):
+    """grouped_input=True (pre-grouped (.., G, group) audio, boundary shift
+    folded into the DFT tables — no full-tensor pad/relayout) must match
+    the flat path within f32 summation-order tolerance, and scipy."""
+    from seld_tpu.ops.pallas.stft import (
+        stft_group_size,
+        stft_grouped_supported,
+    )
+
+    if not stft_grouped_supported(nperseg, noverlap):
+        pytest.skip("shape outside grouped-mode envelope")
+    group = stft_group_size(nperseg, noverlap)
+    assert n % group == 0, (n, group)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    flat = stft_mag_pallas(
+        jnp.asarray(x), nperseg=nperseg, noverlap=noverlap,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    grouped = stft_mag_pallas(
+        jnp.asarray(x).reshape(2, n // group, group),
+        nperseg=nperseg, noverlap=noverlap,
+        out_dtype=jnp.float32, interpret=True, grouped_input=True,
+    )
+    assert grouped.shape == flat.shape
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.asarray(flat), atol=1e-5
+    )
+    ref = spectrum_fast(
+        jnp.asarray(x), nperseg=nperseg, noverlap=noverlap,
+        output_phase=False, method="fft", return_layout="CTF",
+    )
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(ref), atol=2e-4)
+
+
+def test_stft_mag_grouped_ft_layout(rng):
+    """grouped_input composes with out_layout='FT' (the serving handoff)."""
+    x = jnp.asarray(rng.standard_normal((2, 2, 32000)).astype(np.float32))
+    tf = stft_mag_pallas(
+        x.reshape(2, 2, 10, 3200), out_dtype=jnp.float32, interpret=True,
+        grouped_input=True,
+    )
+    ft = stft_mag_pallas(
+        x.reshape(2, 2, 10, 3200), out_dtype=jnp.float32, interpret=True,
+        grouped_input=True, out_layout="FT",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ft), np.asarray(jnp.swapaxes(tf, 2, 3))
+    )
+
+
 def test_fused_infer_bcft_smallcin_pretranspose(rng):
     """The BCFT smallcin entry (transpose (0,2,1,3) + pre_transposed packer)
     must match the reference-layout apply path bit-for-bit with the BCTF

@@ -99,21 +99,63 @@ def main():
         )
     )
 
+    from seld_tpu.ops.pallas.stft import stft_group_size
+
+    grp = stft_group_size(512, 112)
+    audio_g = audio.reshape(batch, 8, 1920000 // grp, grp)
+    stft_grouped_j = jax.jit(
+        lambda a: stft_mag_pallas(
+            a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+            grouped_input=True,
+        )
+    )
+    pipe_grouped_j = jax.jit(
+        lambda v, a: fused_infer(
+            model, v,
+            stft_mag_pallas(
+                a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+                grouped_input=True,
+            ),
+            input_layout="BCTF", smallcin_impl="thin",
+        )
+    )
+
     fns = {
         "noop": lambda: jnp.float32(0.0) * 1.0,
         "stft-conv": lambda: stft_conv_j(audio),
         "stft-pallas": lambda: stft_pal_j(audio),
         "stft-ft": lambda: stft_ft_j(audio),
+        "stft-grouped": lambda: stft_grouped_j(audio_g),
         "pipe-conv": lambda: pipe_conv_j(variables, audio),
         "pipe-pallas": lambda: pipe_pal_j(variables, audio),
         "pipe-ft": lambda: pipe_ft_j(variables, audio),
         "pipe-thin": lambda: pipe_thin_j(variables, audio),
         "pipe-thin-ft": lambda: pipe_thin_ft_j(variables, audio),
+        "pipe-grouped": lambda: pipe_grouped_j(variables, audio_g),
     }
+    keys = os.environ.get("AB_KEYS")
+    if keys:
+        keep = {"noop", *keys.split(",")}
+        fns = {k: v for k, v in fns.items() if k in keep}
     for name, fn in fns.items():
         t0 = time.time()
         np.asarray(peek(fn()))
         print(f"compiled {name:12s} in {time.time()-t0:6.1f} s", flush=True)
+
+    if keys:
+        # AB_KEYS run: skip the cross-pipeline parity block (it would
+        # compile the unfiltered b2 variants)
+        times = {k: [] for k in fns}
+        for _ in range(reps):
+            for name, fn in fns.items():
+                t0 = time.time()
+                np.asarray(peek(fn()))
+                times[name].append(time.time() - t0)
+        base = np.median(times["noop"]) if "noop" in times else 0.0
+        for name, ts in times.items():
+            med = np.median(ts)
+            print(f"{name:14s} median {med*1000:8.1f} ms  (net {1000*(med-base):8.1f} ms)", flush=True)
+        return
 
     # output parity of the full pipelines (bf16-vs-f32-feats tolerance)
     a, b = pipe_conv_j(variables, audio[:2]), pipe_pal_j(variables, audio[:2])

@@ -357,6 +357,36 @@ def exec_stft_vs_fft():
         FAILS.append("stft exec-compare")
 
 
+def exec_stft_grouped_vs_flat():
+    """Execute-and-compare the GROUPED-input STFT mode on the chip against
+    the flat path: same Element-tiled grid, but the boundary-shifted tables
+    split frame 0's dot across two rows — only a chip execution covers the
+    compiled tiled path (interpret runs single-tile)."""
+    from seld_tpu.ops.pallas.stft import stft_group_size, stft_mag_pallas
+
+    rng = np.random.default_rng(9)
+    group = stft_group_size(512, 112)
+    n = 150 * group  # tiled: gt=120 -> grid (rows, 2) with tail padding
+    x = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    try:
+        want = np.asarray(
+            stft_mag_pallas(x, out_dtype=jnp.bfloat16, block_groups=120)
+        ).astype(np.float32)
+        got = np.asarray(
+            stft_mag_pallas(
+                x.reshape(3, n // group, group), out_dtype=jnp.bfloat16,
+                block_groups=120, grouped_input=True,
+            )
+        ).astype(np.float32)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-2 * scale)
+        print("OK    stft grouped-input mode EXECUTES == flat path", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  stft grouped execute-and-compare: {msg}", flush=True)
+        FAILS.append("stft-grouped exec-compare")
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
 
@@ -490,6 +520,7 @@ def main():
     probe_misaligned_slice_dot()
     exec_train_stage_vs_xla()
     exec_stft_vs_fft()
+    exec_stft_grouped_vs_flat()
 
     if FAILS:
         print(f"\n{len(FAILS)} kernel(s) FAILED to lower: {FAILS}")

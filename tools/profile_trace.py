@@ -45,8 +45,12 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
 
     model = dataclasses.replace(_flagship_model(4800), compute_dtype=dtype)
     rng = np.random.default_rng(0)
+    from seld_tpu.ops.pallas.stft import stft_group_size
+
+    grp = stft_group_size(512, 112)
     audio = jnp.asarray(
         rng.standard_normal((batch, 8, 32000 * 60)).astype(np.float32)
+        .reshape(batch, 8, (32000 * 60) // grp, grp)
     )
     x0 = jnp.zeros((batch, 8, 256, 4800), jnp.float32)
     variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
@@ -62,11 +66,12 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
         if layout == "FT":
             feats = stft_mag_pallas(
                 audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
-                out_layout="FT",
+                out_layout="FT", grouped_input=True,
             )
             return fused_infer(model, variables, feats, input_layout="BCFT")
         feats = stft_mag_pallas(
-            audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16
+            audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+            grouped_input=True,
         )
         return fused_infer(model, variables, feats, input_layout="BCTF")
 
