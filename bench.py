@@ -102,10 +102,19 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         group = stft_group_size(512, 112)
         audio_np = audio_np.reshape(batch, 8, (sr * secs) // group, group)
     audio = jnp.asarray(audio_np)
-    x0 = jnp.zeros((batch, 8, 256, 4800), jnp.float32)
-    variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
+    # init at batch 1: parameter shapes are batch-independent, and a
+    # batch-sized zeros here would pin e.g. 3.77 GB at b96 for the whole
+    # run (it was the margin between fitting and runtime-OOM at b96).
+    # Init traces with pure-XLA impls: the Pallas kernels are param-free
+    # (identical variables) and their Mosaic tilings reject batch 1.
+    init_model = dataclasses.replace(
+        model, attention_impl="full", frontend_impl="xla"
+    )
+    x0 = jnp.zeros((1, 8, 256, 4800), jnp.float32)
+    variables = jax.jit(lambda k, inp: init_model.init(k, inp, train=False))(
         jax.random.PRNGKey(0), x0
     )
+    del x0
     precision = "highest" if dtype == "float32" else "default"
     # serving (bf16) runs the hybrid fused path (Pallas smallcin frontend +
     # XLA wide stages, models/fused_infer.py); parity mode (f32) keeps the
@@ -170,12 +179,12 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
 
 def main():
     ap = argparse.ArgumentParser()
-    # defaults = the serving configuration. batch 64: best measured
-    # throughput on one v5e — unlocked by the thin smallcin pack (1.28 GB
-    # packed stage-1 input vs the wide pack's 5.1 GB, which OOMed b64).
-    # b96 compile-OOMs on the XLA stage-2 conv's 7 GB intermediate.
+    # defaults = the serving configuration. batch 96: best measured
+    # throughput on one v5e (4.72 audio-h/s) — unlocked by the padless
+    # grouped-input STFT (no full-tensor pad/relayout copies) + batch-1
+    # XLA init (a batch-sized init input pinned 3.77 GB at b96).
     # Parity mode: --dtype float32 --batch 4. BENCH.md has the batch sweep.
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument(

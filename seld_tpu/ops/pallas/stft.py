@@ -175,6 +175,78 @@ def _stft_kernel(
     o_ref[0] = jnp.transpose(tile, (1, 0)) if transpose_out else tile
 
 
+def _stft_kernel_padless(
+    x_ref, w_ref, wh_ref, o_ref, *, fpg, starts, n_bins, gt,
+    transpose_out=False, wd=None, single=False,
+):
+    """PADLESS grouped mode: the block is read straight from the caller's
+    (rows, G, group) storage-dtype audio — no XLA-side pad or copy at all
+    (the padded grouped path still writes one full-tensor rows-pad in the
+    compute dtype, ~2.8 GB bf16 at b96).
+
+    Tiled grid: the input index map is ``max(gi*gt - 8, 0)`` (Element starts
+    must stay 8-aligned, so the backward halo is 8 rows). Tile 0 reads rows
+    [0, gt+8) and realizes the scipy zero boundary by rolling the df=0 tail
+    dot down one group row and masking row 0; tiles >0 read their halo'd
+    rows with base 8 (tail rows at base-1 — a sublane-misaligned value
+    slice, which Mosaic accepts as a dot operand). ``single=True`` covers
+    the one-tile / interpret case (block exactly (1, G, group), boundary
+    branch only).
+    """
+
+    def body(base, boundary):
+        group = x_ref.shape[-1]
+        xall = x_ref[0]
+        if xall.dtype != w_ref.dtype:
+            xall = xall.astype(w_ref.dtype)
+        th = wh_ref.shape[0]
+        if boundary:
+            xt = xall[0:gt, group - th :]
+            yt = jax.lax.dot_general(
+                xt, wh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # rows of yt are the tails of groups [1, gt+1); shift down one
+            # row and zero row 0 (group 0's boundary is the scipy zero-ext)
+            yt = pltpu.roll(yt, 1, 0)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, yt.shape, 0)
+            yt = jnp.where(rowi > 0, yt, 0.0)
+        else:
+            xt = xall[base - 1 : base - 1 + gt, group - th :]
+            yt = jax.lax.dot_general(
+                xt, wh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        mags = []
+        for df in range(fpg):
+            a0 = starts[df]
+            xs = xall[base : base + gt, a0 : a0 + wd[df]]
+            y = jax.lax.dot_general(
+                xs, w_ref[df, : wd[df]], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if df == 0:
+                y = y + yt
+            re, im = y[:, :n_bins], y[:, n_bins:]
+            mags.append(jnp.sqrt(re * re + im * im))
+        out = jnp.stack(mags, axis=1)  # (Gt, fpg, F)
+        tile = out.reshape(gt * fpg, n_bins).astype(o_ref.dtype)
+        o_ref[0] = jnp.transpose(tile, (1, 0)) if transpose_out else tile
+
+    if single:
+        body(0, True)
+    else:
+        gi = pl.program_id(1)
+
+        @pl.when(gi == 0)
+        def _boundary():
+            body(0, True)
+
+        @pl.when(gi > 0)
+        def _interior():
+            body(8, False)
+
+
 def _pick_gt(g: int, block_groups: int, align: int = 8) -> int:
     """Groups-per-tile for the Element-indexed grid.
 
@@ -317,19 +389,29 @@ def stft_mag_pallas(
     cdt = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
     over = 1 if (interpret or g_pad == gt) else 8
     wd = None
+    padless = False
     if grouped_input:
         tables, tail, wrows, starts, wd = _grouped_dft_tables(
             nperseg, hop, fpg, n_bins
         )
         w = jnp.asarray(tables, cdt)
         wh = jnp.asarray(tail, cdt)
-        # rows-only pad in the COMPUTE dtype (the convert fuses into the
-        # pad): 1 zero boundary row in front, alignment/garbage-frame rows
-        # behind. No lane shift, no relayout — the input's (G, group) tiling
-        # is already the kernel's.
-        back = g_pad - gdata + (7 if over == 8 else 0)
-        xv = jnp.pad(x.reshape(rows, gdata, group).astype(cdt),
-                     ((0, 0), (1, back), (0, 0)))
+        # PADLESS fast path: when the tile size divides the caller's group
+        # count exactly (the serving shapes: 600 rows, gt=120), the kernel
+        # reads the caller's array directly — zero XLA-side prep. Otherwise
+        # fall back to a rows-only pad in the COMPUTE dtype (the convert
+        # fuses into the pad): 1 zero boundary row in front, alignment/
+        # garbage-frame rows behind. Either way there is no lane shift and
+        # no relayout — the input's (G, group) tiling is already the
+        # kernel's.
+        padless = g == gdata and g % gt == 0
+        if padless:
+            g_pad = g
+            xv = x.reshape(rows, gdata, group)  # storage dtype; cast in-block
+        else:
+            back = g_pad - gdata + (7 if over == 8 else 0)
+            xv = jnp.pad(x.reshape(rows, gdata, group).astype(cdt),
+                         ((0, 0), (1, back), (0, 0)))
     else:
         tables, head, wrows, offs = _shifted_dft_tables(
             nperseg, hop, fpg, n_bins
@@ -372,7 +454,40 @@ def stft_mag_pallas(
         + rows * g_pad * fpg * n_bins * 2,
         transcendentals=0,
     )
-    if interpret or g_pad == gt:
+    if padless:
+        pkern = functools.partial(
+            _stft_kernel_padless, fpg=fpg, starts=starts, n_bins=n_bins,
+            gt=gt, transpose_out=transpose_out, wd=wd,
+            single=interpret or g_pad == gt,
+        )
+        if interpret or g_pad == gt:
+            xspec = pl.BlockSpec(
+                (1, gdata, group), lambda r, gi: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            pgrid = (rows, 1)
+        else:
+            xspec = pl.BlockSpec(
+                # 8-row backward halo (Element starts must be 8-aligned);
+                # tile 0 clamps to row 0 and branches to the boundary body.
+                # The //8*8 round-trip is a no-op on the value (both clamp
+                # branches are 8-divisible) but makes the divisibility
+                # SYNTACTICALLY provable for Mosaic's window-param checker.
+                (pl.Element(1), pl.Element(gt + 8), pl.Element(group)),
+                lambda r, gi: (r, (jnp.maximum(gi * gt - 8, 0) // 8) * 8, 0),
+                memory_space=pltpu.VMEM,
+            )
+            pgrid = grid
+        out = pl.pallas_call(
+            pkern,
+            grid=pgrid,
+            in_specs=[xspec, wspec, whspec],
+            out_specs=ospec,
+            out_shape=oshape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xv, w, wh)
+    elif interpret or g_pad == gt:
         # single G-tile: plain Blocked specs (Element indexing is unsupported
         # in interpret mode; small inputs never need tiling anyway)
         out = pl.pallas_call(

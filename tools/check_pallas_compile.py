@@ -386,6 +386,32 @@ def exec_stft_grouped_vs_flat():
         print(f"FAIL  stft grouped execute-and-compare: {msg}", flush=True)
         FAILS.append("stft-grouped exec-compare")
 
+    # PADLESS tiled variant (gt | G): max(gi*gt-8,0) Element index map,
+    # pl.when boundary branch with a rolled+masked tail dot, f32 in-block
+    # cast, NO XLA pad. Only a chip run covers the tiled branches
+    # (interpret is single-tile).
+    n = 240 * group  # gt=120 -> grid (rows, 2), 240 % 120 == 0 -> padless
+    x = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    try:
+        want = np.asarray(
+            stft_mag_pallas(x, out_dtype=jnp.bfloat16, block_groups=120)
+        ).astype(np.float32)
+        got = np.asarray(
+            stft_mag_pallas(
+                x.reshape(3, n // group, group), out_dtype=jnp.bfloat16,
+                block_groups=120, grouped_input=True,
+            )
+        ).astype(np.float32)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-2 * scale)
+        print("OK    stft grouped PADLESS tiled mode EXECUTES == flat path",
+              flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  stft grouped padless execute-and-compare: {msg}",
+              flush=True)
+        FAILS.append("stft-grouped-padless exec-compare")
+
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)

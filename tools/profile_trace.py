@@ -52,10 +52,16 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
         rng.standard_normal((batch, 8, 32000 * 60)).astype(np.float32)
         .reshape(batch, 8, (32000 * 60) // grp, grp)
     )
-    x0 = jnp.zeros((batch, 8, 256, 4800), jnp.float32)
-    variables = jax.jit(lambda k, inp: model.init(k, inp, train=False))(
+    # init at batch 1 with pure-XLA impls (param-free Pallas kernels reject
+    # batch 1; a batch-sized zeros would pin GBs for the whole trace)
+    init_model = dataclasses.replace(
+        model, attention_impl="full", frontend_impl="xla"
+    )
+    x0 = jnp.zeros((1, 8, 256, 4800), jnp.float32)
+    variables = jax.jit(lambda k, inp: init_model.init(k, inp, train=False))(
         jax.random.PRNGKey(0), x0
     )
+    del x0
 
     layout = os.environ.get("PT_LAYOUT", "TF")  # TF (serving default) | FT
 
