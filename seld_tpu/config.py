@@ -163,7 +163,11 @@ class SELDConfig:
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16' (parity path stays f32)
     mesh_data: int = -1                   # data-parallel mesh axis size; -1 = all devices
     mesh_model: int = 1                   # model-parallel mesh axis size
-    use_remat: bool = True                # rematerialize ResBlock activations in training
+    use_remat: Any = "auto"               # rematerialize activations in training:
+                                          # 'auto' = on for f32 (unlocks b4/b8 parity training),
+                                          # off for bf16 (BENCH.md: remat is a pure ~10% loss
+                                          # once flash attention + the fused stage-1 kernel
+                                          # removed the memory pressure); True/False force it
     frontend_bands: int = 0               # >1: banded eval-time CNN stage 1 (serving memory cap)
     frontend_impl: str = "auto"           # 'auto' | 'pallas' | 'pallas-interpret' | 'xla': fused train-mode stage 1
 
@@ -171,8 +175,11 @@ class SELDConfig:
     _BOOL_FIELDS = frozenset({
         "use_cuda", "early_stopping", "fixed_seed", "phase", "use_lr_scheduler",
         "use_tcn", "use_bias_conv", "use_bias_linear", "verbose",
-        "use_time_distributed", "parallel_magphase", "use_se_block", "use_remat",
+        "use_time_distributed", "parallel_magphase", "use_se_block",
     })
+    # bool-or-'auto' fields: the literal token 'auto' passes through, anything
+    # else coerces like a bool (so --use_remat=True/False/1/0 still work)
+    _TRISTATE_FIELDS = frozenset({"use_remat"})
     _LIST_FIELDS = frozenset({"pool_size", "cnn_filters", "D", "V", "fc_layers"})
 
     def replace(self, **kwargs) -> "SELDConfig":
@@ -185,6 +192,10 @@ class SELDConfig:
     @classmethod
     def coerce(cls, name: str, value: Any) -> Any:
         """Coerce a raw token (string) to the declared field type."""
+        if name in cls._TRISTATE_FIELDS:
+            if isinstance(value, str) and value.lower() == "auto":
+                return "auto"
+            return _as_bool(value)
         if name in cls._BOOL_FIELDS:
             return _as_bool(value)
         if name in cls._LIST_FIELDS:
@@ -196,6 +207,16 @@ class SELDConfig:
             return float(value)
         # strings and Optional[str]
         return value
+
+
+def resolve_use_remat(cfg: "SELDConfig") -> bool:
+    """Resolve ``use_remat='auto'`` by compute dtype (BENCH.md recommendation):
+    remat ON for f32 training (its b4/b8 unlock depends on it), OFF for bf16
+    (flash attention + the fused Pallas stage-1 kernel removed the memory
+    pressure; remat then costs ~10% step time for nothing)."""
+    if isinstance(cfg.use_remat, bool):
+        return cfg.use_remat
+    return cfg.compute_dtype == "float32"
 
 
 def tokens_to_config(tokens: List[str], base: Optional[SELDConfig] = None) -> SELDConfig:

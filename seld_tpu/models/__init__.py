@@ -20,6 +20,8 @@ from seld_tpu.models.layers import (  # noqa: F401
 )
 from seld_tpu.models.seld import SELDModel, synthesize_model_name  # noqa: F401
 
+from seld_tpu.config import resolve_use_remat as _resolve_use_remat
+
 
 def model_from_config(cfg) -> SELDModel:
     """Build a SELDModel from a SELDConfig (mirrors reference train.py:450-458)."""
@@ -59,7 +61,7 @@ def model_from_config(cfg) -> SELDModel:
         # (measured in BENCH.md; tools/profile_stages.py section 'qmm')
         qconv_impl=cfg.qconv_impl if cfg.qconv_impl in {"pallas", "int8"} else "xla",
         compute_dtype=cfg.compute_dtype,
-        remat=cfg.use_remat,
+        remat=_resolve_use_remat(cfg),
         frontend_bands=cfg.frontend_bands,
         frontend_impl=cfg.frontend_impl,
     )

@@ -88,6 +88,38 @@ def test_overrides():
     assert cfg.domain == "R" and cfg.batch_size == 4
 
 
+def test_use_remat_tristate(tmp_path):
+    """use_remat defaults to 'auto' (dtype-resolved: ON for f32, OFF for
+    bf16 — BENCH.md's measured recommendation) and still accepts bool
+    tokens from text configs."""
+    from seld_tpu.config import resolve_use_remat
+
+    cfg = SELDConfig()
+    assert cfg.use_remat == "auto"
+    assert resolve_use_remat(cfg) is True  # default compute_dtype=float32
+    assert resolve_use_remat(cfg.replace(compute_dtype="bfloat16")) is False
+    p = tmp_path / "c.txt"
+    p.write_text("--use_remat=False\n")
+    cfg = load_config(str(p))
+    assert cfg.use_remat is False
+    assert resolve_use_remat(cfg) is False
+    p.write_text("--use_remat=True\n")
+    cfg = load_config(str(p)).replace(compute_dtype="bfloat16")
+    assert cfg.use_remat is True
+    assert resolve_use_remat(cfg) is True
+    p.write_text("--use_remat=auto\n")
+    assert load_config(str(p)).use_remat == "auto"
+
+
+def test_use_remat_reaches_model():
+    from seld_tpu.models import model_from_config
+
+    cfg = SELDConfig(compute_dtype="bfloat16")
+    assert model_from_config(cfg).remat is False
+    cfg = SELDConfig(compute_dtype="float32")
+    assert model_from_config(cfg).remat is True
+
+
 def test_local_configs_load():
     for path in sorted(glob.glob(os.path.join(LOCAL_CONFIG_DIR, "*.txt"))):
         cfg = load_config(path)
