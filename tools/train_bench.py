@@ -36,7 +36,13 @@ def run_point(dtype: str, batch: int, iters: int = 5):
         attention_impl=os.environ.get("TB_ATTN", "auto"),
         frontend_bands=int(os.environ.get("TB_BANDS", "0")),
         frontend_impl=os.environ.get("TB_FRONTEND", "auto"),
-        remat=os.environ.get("TB_REMAT", "1") == "1",
+        # 'auto' = dtype-resolved like config.resolve_use_remat: off for
+        # bf16 (measured best), on for f32
+        remat=(
+            (dtype == "float32")
+            if os.environ.get("TB_REMAT", "auto") == "auto"
+            else os.environ.get("TB_REMAT") == "1"
+        ),
     )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
