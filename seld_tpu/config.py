@@ -193,8 +193,8 @@ class SELDConfig:
     def coerce(cls, name: str, value: Any) -> Any:
         """Coerce a raw token (string) to the declared field type."""
         if name in cls._TRISTATE_FIELDS:
-            if isinstance(value, str) and value.lower() == "auto":
-                return "auto"
+            if isinstance(value, str) and value.lower() in ("auto", "frontend"):
+                return value.lower()
             return _as_bool(value)
         if name in cls._BOOL_FIELDS:
             return _as_bool(value)
@@ -209,12 +209,17 @@ class SELDConfig:
         return value
 
 
-def resolve_use_remat(cfg: "SELDConfig") -> bool:
+def resolve_use_remat(cfg: "SELDConfig"):
     """Resolve ``use_remat='auto'`` by compute dtype (BENCH.md recommendation):
     remat ON for f32 training (its b4/b8 unlock depends on it), OFF for bf16
     (flash attention + the fused Pallas stage-1 kernel removed the memory
-    pressure; remat then costs ~10% step time for nothing)."""
-    if isinstance(cfg.use_remat, bool):
+    pressure; remat then costs ~10% step time for nothing).
+
+    ``'frontend'`` passes through: one remat region over the whole CNN
+    front-end (recomputes stage 1-3 in the backward instead of holding the
+    3.5 GB stage-1 output — the bf16 b64 training unlock, BENCH.md round 4).
+    """
+    if isinstance(cfg.use_remat, bool) or cfg.use_remat == "frontend":
         return cfg.use_remat
     return cfg.compute_dtype == "float32"
 

@@ -8,7 +8,7 @@ works on (B, F, T, C) NHWC.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -360,7 +360,7 @@ class ConvTCBlock(nn.Module):
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
     dtype: str = "float32"
-    remat: bool = False
+    remat: Any = False  # False | True (per-stage+ResBlocks) | 'frontend'
     frontend_bands: int = 0  # >1: banded eval-time first stage (memory cap)
     # 'auto' | 'pallas' | 'pallas-thin' | 'pallas-interpret' |
     # 'pallas-interpret-thin' | 'xla': train-mode stage-1 fused
@@ -468,7 +468,7 @@ class ConvTCBlock(nn.Module):
             n_bands=n_bands, idx=i, use_bias=self.use_bias,
             qconv_impl=self.qconv_impl,
             use_bn=self.batch_norm in _BN_ON_CNN,
-            dropout=self.dropout_perc, remat=self.remat,
+            dropout=self.dropout_perc, remat=self.remat is True,
         )
         nn.share_scope(self, stage)
         return stage(x)
@@ -500,16 +500,19 @@ class ConvTCBlock(nn.Module):
         ys = jnp.moveaxis(ys, 0, 1)  # (B, n_bands, bh//pf, T', C')
         return ys.reshape(b, (f // pool[0]), *ys.shape[3:])
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, F, T, C)
-        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else None
-        x = x if cdt is None else x.astype(cdt)
-        # remat each CNN stage: the un-pooled conv activations (e.g. layer 1's
-        # (B, 256, 4800, C) — 3.5 GB f32 at batch 4) dominate training memory
-        stage = (
+    def _cnn_frontend(self, x, train: bool):
+        """All CNN stages. ``remat`` values:
+        - True: remat each stage separately (per-stage boundaries still SAVE
+          every stage's input — including stage 1's 3.5 GB output at b64);
+        - 'frontend': remat the WHOLE frontend as ONE region — only this
+          method's input survives as a residual, so stage 1's un-pooled
+          output, its packed stage-1 input and every inter-stage copy are
+          recomputed in the backward instead of held (the b64 training
+          unlock: the two 3.56 GB stage-2 input copies were the top HBM
+          allocations in the b64 compile dump, BENCH.md round 4)."""
+        per_stage = (
             nn.remat(ConvTCBlock._cnn_stage, static_argnums=(2, 3, 4, 5, 6))
-            if self.remat else ConvTCBlock._cnn_stage
+            if self.remat is True else ConvTCBlock._cnn_stage
         )
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
@@ -524,7 +527,23 @@ class ConvTCBlock(nn.Module):
                 else:
                     x = self._cnn_stage_banded(x, i, c, pool, train, self.frontend_bands)
             else:
-                x = stage(self, x, i, c, pool, train, False)
+                x = per_stage(self, x, i, c, pool, train, False)
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, F, T, C)
+        cdt = jnp.bfloat16 if self.dtype == "bfloat16" else None
+        x = x if cdt is None else x.astype(cdt)
+        # remat the CNN front-end: the un-pooled conv activations (e.g. layer
+        # 1's (B, 256, 4800, C) — 3.5 GB f32 at batch 4) dominate training
+        # memory; 'frontend' makes the whole front-end one remat region
+        frontend = (
+            nn.remat(ConvTCBlock._cnn_frontend, static_argnums=(2,))
+            if self.remat == "frontend" and train
+            else ConvTCBlock._cnn_frontend
+        )
+        x = frontend(self, x, train)
         # (B, F', T', C') -> (B, T', C'*F') channel-major flatten, matching the
         # reference's permute(0,3,1,2)+reshape of (B, C, F, T).
         b, f, t, c = x.shape
@@ -537,6 +556,6 @@ class ConvTCBlock(nn.Module):
             batch_norm=self.batch_norm,
             kernel_size_dilated_conv=self.kernel_size_dilated_conv,
             attention_impl=self.attention_impl, qconv_impl=self.qconv_impl,
-            dtype=self.dtype, remat=self.remat, name="tcn",
+            dtype=self.dtype, remat=self.remat is True, name="tcn",
         )(x, train=train)
         return x  # (B, T_pooled, V[-1])

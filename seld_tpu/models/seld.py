@@ -11,7 +11,7 @@ and receptive-field computation.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -90,7 +90,7 @@ class SELDModel(nn.Module):
     attention_impl: str = "auto"
     qconv_impl: str = "xla"
     compute_dtype: str = "float32"
-    remat: bool = False
+    remat: Any = False  # False | True | 'frontend' (one remat region over the CNN stages)
     frontend_bands: int = 0
     frontend_impl: str = "auto"  # train-mode stage-1 kernel (blocks.ConvTCBlock)
 

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, nk):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, nk, g):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -60,7 +60,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(ki == nk - 1)
     def _():
         o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
+        # row stats are stored (BH, T//g, 1, g) — row values on LANES in
+        # backward-block-sized pieces (g = bq_bwd, a divisor of bq). The old
+        # (BH, T, 1) layout put the size-1 dim on lanes and XLA padded it
+        # 128x: 600 MB of pure padding PER stat tensor at b64 (the HBM
+        # dump's #4/#5 entries) vs ~42 MB in this layout.
+        lse = m_scr[...] + jnp.log(l_scr[...])  # (bq, 1) f32
+        for j in range(lse.shape[0] // g):
+            lse_ref[0, j] = jnp.transpose(lse[j * g : (j + 1) * g], (1, 0))
 
 
 def _flash_dq_kernel(
@@ -79,11 +86,13 @@ def _flash_dq_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    p = jnp.exp(s - lse_ref[0])  # (TQ, TK)
+    lse_col = jnp.transpose(lse_ref[0, 0], (1, 0))      # (TQ, 1)
+    delta_col = jnp.transpose(delta_ref[0, 0], (1, 0))  # (TQ, 1)
+    p = jnp.exp(s - lse_col)  # (TQ, TK)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta_ref[0])  # (TQ, TK)
+    ds = p * (dp - delta_col)  # (TQ, TK)
     acc_scr[...] += jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -108,8 +117,8 @@ def _flash_dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse_row = jnp.transpose(lse_ref[0], (1, 0))      # (1, TQ)
-    delta_row = jnp.transpose(delta_ref[0], (1, 0))  # (1, TQ)
+    lse_row = lse_ref[0, 0]      # (1, TQ) — stats arrive row-major already
+    delta_row = delta_ref[0, 0]  # (1, TQ)
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (TK, TQ)
@@ -149,12 +158,16 @@ def _prep(x, d_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
 
 
-def _flash_forward(qp, kp, vp, scale, bq, bk, interpret, out_dtype):
-    """Prepped (BH, T, Dpad) tensors -> (out (BH,T,Dpad), lse (BH,T,1))."""
+def _flash_forward(qp, kp, vp, scale, bq, bk, g, interpret, out_dtype):
+    """Prepped (BH, T, Dpad) tensors -> (out (BH,T,Dpad), lse (BH,T//g,1,g)).
+
+    ``g`` (= the backward q-block, a divisor of bq) is the row-stat lane
+    piece size: every stat block's lane dim equals the array's full last
+    dim, which Mosaic accepts for any size."""
     bh, t, d_pad = qp.shape
     nq, nk = t // bq, t // bk
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, nk=nk),
+        functools.partial(_flash_kernel, scale=scale, nk=nk, g=g),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
@@ -163,11 +176,14 @@ def _flash_forward(qp, kp, vp, scale, bq, bk, interpret, out_dtype):
         ],
         out_specs=(
             pl.BlockSpec((1, bq, d_pad), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bq // g, 1, g), lambda b, qi, ki: (b, qi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d_pad), out_dtype),
-            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t // g, 1, g), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -187,9 +203,11 @@ def _flash_forward(qp, kp, vp, scale, bq, bk, interpret, out_dtype):
 def _flash_backward(qp, kp, vp, dop, lse, delta, scale, bq, bk, interpret):
     bh, t, d_pad = qp.shape
     nq, nk = t // bq, t // bk
+    # bq here IS the stat piece size g (bq_bwd): one (1, 1, 1, g) stat block
+    # per backward q-block
     qspec = pl.BlockSpec((1, bq, d_pad), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, bk, d_pad), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM)
-    rowq = pl.BlockSpec((1, bq, 1), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, 1, 1, bq), lambda b, qi, ki: (b, qi, 0, 0), memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, nk=nk),
         grid=(bh, nq, nk),
@@ -208,7 +226,7 @@ def _flash_backward(qp, kp, vp, dop, lse, delta, scale, bq, bk, interpret):
     # k-major pass: grid (bh, ki, qi), accumulate over qi
     qspec2 = pl.BlockSpec((1, bq, d_pad), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM)
     kspec2 = pl.BlockSpec((1, bk, d_pad), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM)
-    rowq2 = pl.BlockSpec((1, bq, 1), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM)
+    rowq2 = pl.BlockSpec((1, 1, 1, bq), lambda b, ki, qi: (b, qi, 0, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, scale=scale, nq=nq),
         grid=(bh, nk, nq),
@@ -242,7 +260,9 @@ def _flash_core_fwd(q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret):
     b, t, h, d = q.shape
     d_pad = _round_up(d, 128)
     qp, kp, vp = _prep(q, d_pad), _prep(k, d_pad), _prep(v, d_pad)
-    outp, lse = _flash_forward(qp, kp, vp, scale, bq, bk, interpret, q.dtype)
+    outp, lse = _flash_forward(
+        qp, kp, vp, scale, bq, bk, bq_bwd, interpret, q.dtype
+    )
     out = jnp.transpose(outp[:, :, :d].reshape(b, h, t, d), (0, 2, 1, 3))
     # residuals: original (unpadded) tensors + lse; backward re-preps
     return out, (q, k, v, out, lse)
@@ -252,11 +272,13 @@ def _flash_core_bwd(scale, bq, bk, bq_bwd, bk_bwd, interpret, res, g):
     q, k, v, out, lse = res
     b, t, h, d = q.shape
     d_pad = _round_up(d, 128)
-    # delta = rowsum(dO * O) per (bh, t): tiny XLA epilogue, layout (BH, T, 1)
+    # delta = rowsum(dO * O) per (bh, t): tiny XLA epilogue, stored like lse
+    # as (BH, T//g, 1, g) — row values on lanes (a (BH, T, 1) layout pads
+    # the size-1 lane dim 128x: 600 MB of pure padding at b64)
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )  # (B, T, H)
-    delta = jnp.transpose(delta, (0, 2, 1)).reshape(b * h, t, 1)
+    delta = jnp.transpose(delta, (0, 2, 1)).reshape(b * h, t // bq_bwd, 1, bq_bwd)
     qp, kp, vp = _prep(q, d_pad), _prep(k, d_pad), _prep(v, d_pad)
     dop = _prep(g.astype(q.dtype), d_pad)
     dq, dk, dv = _flash_backward(
@@ -307,7 +329,9 @@ def flash_attention(
         from seld_tpu.models.attention import _attend_chunked
 
         return _attend_chunked(q, k, v, scale, 512)
-    bq_bwd = _pick_block(t, min(block_q, block_bwd))
+    # bq_bwd must DIVIDE bq: the forward emits row stats in bq_bwd-sized
+    # lane pieces that the backward consumes one block apiece
+    bq_bwd = _pick_block(bq, min(block_q, block_bwd))
     bk_bwd = _pick_block(t, min(block_k, block_bwd))
     return _flash_attention_core(
         q, k, v, scale, bq, bk, bq_bwd, bk_bwd, interpret

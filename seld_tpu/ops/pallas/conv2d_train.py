@@ -140,19 +140,25 @@ def _stats_kernel(p_ref, w_ref, s1_ref, s2_ref, *, pf, kg, tt, t, stacked,
 def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
                  thin=False, tt=None):
     """Yield (r, g_pre_r, acc_r): the pooled cotangent routed through the
-    maxpool's first-match argmax and the ReLU mask. Recomputes the conv
-    twice per row (max-find loop, then route loop) to keep VMEM flat —
-    only the running max and the taken mask stay live across rows."""
+    maxpool's first-match argmax and the ReLU mask.
+
+    The conv is computed ONCE per pool row and all pf (cout, tt) f32 rows
+    stay live in VMEM (3.9 MB at pf=8, cout=192, tt=640) — the previous
+    two-loop form recomputed every conv a second time for the routing pass,
+    and the b32 trace (BENCH.md round 4) put the two backward passes at
+    37.8 + 44.4 ms/step, dominated by exactly those K-dot recomputes."""
     scale = s_ref[...]
     bias = b_ref[...]
+    accs = [
+        _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
+        for r in range(pf)
+    ]
     m = None
-    for r in range(pf):
-        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
+    for acc in accs:
         y = jnp.maximum(acc * scale + bias, 0.0)
         m = y if m is None else jnp.maximum(m, y)
     taken = jnp.zeros(m.shape, jnp.bool_)
-    for r in range(pf):
-        acc = _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
+    for r, acc in enumerate(accs):
         pre = acc * scale + bias
         y = jnp.maximum(pre, 0.0)
         hit = (y == m) & (~taken)

@@ -37,11 +37,16 @@ def run_point(dtype: str, batch: int, iters: int = 5):
         frontend_bands=int(os.environ.get("TB_BANDS", "0")),
         frontend_impl=os.environ.get("TB_FRONTEND", "auto"),
         # 'auto' = dtype-resolved like config.resolve_use_remat: off for
-        # bf16 (measured best), on for f32
+        # bf16 (measured best), on for f32. 'frontend' = one remat region
+        # over the CNN stages (the b64 unlock).
         remat=(
             (dtype == "float32")
             if os.environ.get("TB_REMAT", "auto") == "auto"
-            else os.environ.get("TB_REMAT") == "1"
+            else (
+                "frontend"
+                if os.environ.get("TB_REMAT") == "frontend"
+                else os.environ.get("TB_REMAT") == "1"
+            )
         ),
     )
     cfg = SELDConfig(
