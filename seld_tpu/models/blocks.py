@@ -440,6 +440,87 @@ class ConvTCBlock(nn.Module):
         )
         return nn.Dropout(self.dropout_perc)(out, deterministic=False)
 
+    def _ct_train_ok(self, x) -> bool:
+        """Conditions for the full CT train chain: stage 1 runs the fused
+        smallcin train kernel emitting CT, stages 2+ run the train-mode
+        widecin CT stage (conv2d_ct_train.py) — no channel-last layout ever
+        materializes between CNN stages (the b32 trace's ~180 ms stage-2
+        orbit + boundary relayouts, BENCH.md round 4). bf16-only: Mosaic
+        lowers f32 dots bf16-truncated (the round-3 merged-backward
+        anti-result), so the f32 parity path keeps the XLA stages."""
+        if self.frontend_impl not in ("pallas-ct", "pallas-ct-interpret"):
+            # opt-in until the A/B lands it as the bf16 'auto' default
+            return False
+        pools = [
+            (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
+            for p in self.pool_size
+        ]
+        f = x.shape[1]
+        ok = (
+            self.kernel_size_cnn_blocks == 3
+            and not self.use_bias
+            and self.batch_norm in _BN_ON_CNN
+            and not self.use_se_block
+            and self.frontend_bands <= 1
+            and 3 * x.shape[-1] <= 32
+            and all(p[1] == 1 for p in pools)
+            and all(c % 8 == 0 for c in self.cnn_filters)
+        )
+        for p in pools:
+            ok = ok and (f % p[0] == 0)
+            f //= p[0]
+        return ok
+
+    def _cnn_frontend_ct_train(self, x):
+        """Train-mode CNN front-end entirely in the CT layout: stage 1 via
+        the fused smallcin train op (out_layout='CT'), stages 2+ via the
+        widecin CT train op; BN running stats stream through the shared
+        _StatsBatchNorm variables; dropout rides the CT tensor (elementwise,
+        layout-agnostic). Returns channel-last (B, F', T, C')."""
+        from seld_tpu.ops.pallas.conv2d_train import (
+            conv2d_smallcin_bn_relu_fpool_train,
+        )
+        from seld_tpu.ops.pallas.conv2d_ct_train import (
+            conv2d_widecin_ct_bn_relu_fpool_train,
+        )
+
+        interpret = "interpret" in self.frontend_impl
+        t = x.shape[2]
+        h = None
+        for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
+            pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
+            conv = make_conv(
+                self.domain, c, self.kernel_size_cnn_blocks, 2, padding=1,
+                use_bias=self.use_bias, impl=self.qconv_impl, name=f"cnn_{i}",
+            )
+            probe = jnp.zeros(
+                (1, 1, 1, x.shape[-1] if i == 0 else self.cnn_filters[i - 1]),
+                x.dtype,
+            )
+            w = conv(probe, return_dense_kernel=True)
+            bn = _StatsBatchNorm(name=f"cnn_bn_{i}")
+            gamma, beta = bn(
+                jnp.zeros((1, 1, 1, c), x.dtype), None, None, return_params=True
+            )
+            if i == 0:
+                thin = x.shape[-1] <= 8
+                h, mean, var = conv2d_smallcin_bn_relu_fpool_train(
+                    x, w, gamma, beta, pool[0], interpret=interpret,
+                    pack="thin" if thin else "wide", out_layout="CT",
+                )
+            else:
+                h, mean, var = conv2d_widecin_ct_bn_relu_fpool_train(
+                    h, t, w, gamma, beta, pool[0], interpret=interpret,
+                )
+            bn(
+                jnp.zeros((1, 1, 1, c), x.dtype),
+                jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
+                update_running=True,
+            )
+            h = nn.Dropout(self.dropout_perc)(h, deterministic=False)
+        # back to channel-last (B, F', T, C') for the flatten
+        return jnp.transpose(h[..., :t], (0, 1, 3, 2))
+
     def _cnn_stage(self, x, i: int, c: int, pool, train: bool, freq_halo: bool = False):
         """One front-end stage. With ``freq_halo`` the input carries a 1-row
         frequency halo on each side (banded execution): the conv runs VALID
@@ -510,6 +591,8 @@ class ConvTCBlock(nn.Module):
           recomputed in the backward instead of held (the b64 training
           unlock: the two 3.56 GB stage-2 input copies were the top HBM
           allocations in the b64 compile dump, BENCH.md round 4)."""
+        if train and self._ct_train_ok(x):
+            return self._cnn_frontend_ct_train(x)
         per_stage = (
             nn.remat(ConvTCBlock._cnn_stage, static_argnums=(2, 3, 4, 5, 6))
             if self.remat is True else ConvTCBlock._cnn_stage

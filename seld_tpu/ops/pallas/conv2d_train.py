@@ -246,7 +246,7 @@ def _grid_and_specs(meta, pf, tt, interpret, thin=False):
 
 
 def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
-              thin=False):
+              thin=False, mask_t=None):
     b, f, t, cin, cout, kg, tpad, tt = meta
     kd = 72 if thin else 3 * kg       # dot K per pool row (cost model)
     rows = 8 if thin else kg          # packed sublane rows read per F row
@@ -283,11 +283,13 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
     # pass F2: the serving kernel body with the batch-stats affine
     if thin:
         kern = functools.partial(
-            _smallcin_thin_kernel, pf=pf, tt=tt, stacked=interpret
+            _smallcin_thin_kernel, pf=pf, tt=tt, stacked=interpret,
+            mask_t=mask_t,
         )
     else:
         kern = functools.partial(
-            _smallcin_kernel if interpret else _smallcin_kernel_win, pf=pf, kg=kg
+            _smallcin_kernel if interpret else _smallcin_kernel_win,
+            pf=pf, kg=kg, mask_t=mask_t, tt=tt,
         )
     out = pl.pallas_call(
         kern,
@@ -311,7 +313,7 @@ def _fwd_impl(p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
 
 def conv2d_smallcin_bn_relu_fpool_train(
     x, w, gamma, beta, pool_f, eps=1e-5, interpret=False, precision=None,
-    pack="wide",
+    pack="wide", out_layout="FTC",
 ):
     """Fused train-mode stage: x (B, F, T, Cin), w (3, 3, Cin, Cout) dense
     kernel, gamma/beta (Cout,) BN parameters.
@@ -326,17 +328,22 @@ def conv2d_smallcin_bn_relu_fpool_train(
 
     ``pack='thin'`` (cin <= 8 only) uses the thin pack: 1/4 the packed
     bytes across ALL five kernel passes, dx taps assembled in-kernel.
+
+    ``out_layout='CT'`` keeps the kernel's native channel-on-sublane
+    (B, F//pf, Cout, tpad) output with columns >= t zeroed in-kernel — a
+    valid input for the train-mode CT wide stages (conv2d_ct_train.py);
+    the cotangent must then arrive in the same layout.
     """
     op = _get_op(
         tuple(x.shape), jnp.dtype(x.dtype).name, w.shape[-1],
-        pool_f, float(eps), bool(interpret), precision, pack,
+        pool_f, float(eps), bool(interpret), precision, pack, out_layout,
     )
     return op(x, w, gamma, beta)
 
 
 @functools.lru_cache(maxsize=64)
 def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
-            pack="wide"):
+            pack="wide", out_layout="FTC"):
     """Build the custom-VJP op for one static configuration. Static metadata
     lives in this closure — custom_vjp residuals may only carry arrays."""
     b, f, t, cin = x_shape
@@ -365,9 +372,12 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
         out_ct, mean, var, scale, bias, inv = _fwd_impl(
             p0, pin, wk, gamma, beta, meta, pf, eps, interpret, precision,
-            thin=thin,
+            thin=thin, mask_t=t if out_layout == "CT" else None,
         )
-        out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
+        if out_layout == "CT":
+            out = out_ct  # (B, F//pf, Cout, tpad), cols >= t zeroed in-kernel
+        else:
+            out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
         return (out, mean, var), (p0, wk, mean, inv, scale, bias)
 
     @jax.custom_vjp
@@ -383,8 +393,11 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
 
         # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
         # time columns carry zero cotangent -> no contribution to the sums
-        gt = jnp.transpose(g_out, (0, 1, 3, 2))
-        gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
+        if out_layout == "CT":
+            gt = g_out  # already kernel-layout; CT consumers zero cols >= t
+        else:
+            gt = jnp.transpose(g_out, (0, 1, 3, 2))
+            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
         g_spec = pl.BlockSpec(
             (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
             memory_space=pltpu.VMEM,

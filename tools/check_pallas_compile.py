@@ -326,6 +326,66 @@ def exec_train_stage_vs_xla():
             FAILS.append(f"train-stage-{pack} exec-compare")
 
 
+def exec_ct_train_stage_vs_xla():
+    """Execute-and-compare the train-mode WIDE-channel CT stage
+    (conv2d_ct_train.py) — compiled Element-window kernels incl. the
+    3-group dx pass — against the channel-last XLA composition."""
+    from seld_tpu.ops.pallas.conv2d_ct_train import (
+        conv2d_widecin_ct_bn_relu_fpool_train,
+    )
+
+    rng = np.random.default_rng(5)
+    b, f, t, c, cout, pf = 2, 16, 640, 16, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, f, t, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(cout).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(cout).astype(np.float32))
+
+    def oracle(x, w, gamma, beta):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2))
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return jax.lax.reduce_window(
+            jnp.maximum(yn, 0.0), -jnp.inf, jax.lax.max,
+            (1, pf, 1, 1), (1, pf, 1, 1), "VALID",
+        )
+
+    def fused(x, w, gamma, beta):
+        out = conv2d_widecin_ct_bn_relu_fpool_train(
+            jnp.transpose(x, (0, 1, 3, 2)), t, w, gamma, beta, pf
+        )[0]
+        return jnp.transpose(out, (0, 1, 3, 2))[:, :, :t]
+
+    def loss(op):
+        def fn(x, w, gamma, beta):
+            out = op(x, w, gamma, beta)
+            return jnp.sum(out * jnp.cos(out)), out
+        return fn
+
+    try:
+        (lo, oo), go = jax.jit(
+            jax.value_and_grad(loss(oracle), argnums=(0, 1, 2, 3), has_aux=True)
+        )(x, w, gamma, beta)
+        (lf, of), gf = jax.jit(
+            jax.value_and_grad(loss(fused), argnums=(0, 1, 2, 3), has_aux=True)
+        )(x, w, gamma, beta)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(oo), atol=2e-4, rtol=1e-4)
+        for name, a, b_ in zip(("dh", "dw", "dgamma", "dbeta"), gf, go):
+            scale = float(np.abs(np.asarray(b_)).max()) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4 * scale, err_msg=name
+            )
+        print("OK    CT train-stage fwd+VJP (incl dh) EXECUTES == XLA oracle", flush=True)
+    except Exception as e:
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAIL  CT train-stage execute-and-compare: {msg}", flush=True)
+        FAILS.append("ct-train-stage exec-compare")
+
+
 def exec_stft_vs_fft():
     """Execute-and-compare the fused STFT-magnitude kernel on the chip
     against the fft-path oracle — the real-TPU path uses Element-indexed
@@ -545,6 +605,7 @@ def main():
     exec_cth_chain_vs_ct()
     probe_misaligned_slice_dot()
     exec_train_stage_vs_xla()
+    exec_ct_train_stage_vs_xla()
     exec_stft_vs_fft()
     exec_stft_grouped_vs_flat()
 

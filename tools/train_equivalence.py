@@ -50,7 +50,7 @@ if F64:
 
 N_STEPS = int(os.environ.get("TE_STEPS", "60"))
 BATCH = int(os.environ.get("TE_BATCH", "2"))
-LR = 1e-3
+LR = float(os.environ.get("TE_LR", "1e-4"))
 
 # small-but-real DQ config: full model stack (3 Hamilton CNN stages with BN +
 # pooling, TCN ResBlocks with fibonacci dilations, attention, V convs, dual
@@ -199,11 +199,27 @@ def main():
     jl, jsed, jdoa = run_jax(init_sd, xs, ys, xt, batches)
     print(f"jax   {N_STEPS} steps: {time.time()-t0:.0f}s  loss {jl[0]:.6f} -> {jl[-1]:.6f}", flush=True)
 
+    # CHAOS-ENVELOPE CONTROL: the torch reference ALONE, restarted from the
+    # same init perturbed by one part in 1e13 (~f64 rounding scale). Any
+    # torch-vs-jax divergence growing at or below this envelope's rate is
+    # rounding amplification through the training map, not an
+    # implementation difference (same argument as tools/parity_flagship.py).
+    tm_c = torch_model()
+    with torch.no_grad():
+        sd_c = {k: v * (1.0 + 1e-13) for k, v in init_sd.items()}
+        tm_c.load_state_dict(sd_c)
+    cl, csed, cdoa = run_torch(tm_c, xs, ys, xt, batches)
+    print(f"torch control (init*1+1e-13): loss {cl[0]:.6f} -> {cl[-1]:.6f}", flush=True)
+
     dl = np.abs(tl - jl)
-    rel = dl / np.maximum(np.abs(tl), 1e-12)
-    print(f"per-step |dloss|: max={dl.max():.3e} (step {dl.argmax()}) final={dl[-1]:.3e} max rel={rel.max():.3e}")
-    for i in (0, 1, N_STEPS // 2, N_STEPS - 1):
-        print(f"  step {i:3d}: torch {tl[i]:.10f}  jax {jl[i]:.10f}  |d|={dl[i]:.3e}")
+    dc = np.abs(tl - cl)
+    print(f"per-step |dloss| torch-vs-jax:     max={dl.max():.3e} final={dl[-1]:.3e}")
+    print(f"per-step |dloss| torch-vs-control: max={dc.max():.3e} final={dc[-1]:.3e}")
+    for i in (0, 1, 2, 5, 10, 20, N_STEPS // 2, N_STEPS - 1):
+        print(
+            f"  step {i:3d}: torch {tl[i]:.10f}  jax |d|={dl[i]:.3e}  "
+            f"control |d|={dc[i]:.3e}"
+        )
 
     dsed = np.abs(tsed - jsed)
     ddoa = np.abs(tdoa - jdoa)
@@ -211,15 +227,22 @@ def main():
 
     row_t = metric_row(tsed, tdoa, yt, cfg)
     row_j = metric_row(jsed, jdoa, yt, cfg)
-    print(f"metric row torch: {row_t}")
-    print(f"metric row jax:   {row_j}")
+    row_c = metric_row(csed, cdoa, yt, cfg)
+    print(f"metric row torch:   {row_t}")
+    print(f"metric row jax:     {row_j}")
+    print(f"metric row control: {row_c}")
     same_counts = row_t[:3] == row_j[:3]
     same_row = row_t == row_j
+    # the pass condition: either exact metric-count agreement, or the
+    # jax divergence sits within ~3x the torch reference's own
+    # rounding-perturbation envelope at every step (chaos, not a bug)
+    envelope_ok = bool(np.all(dl <= 3.0 * np.maximum(dc, 1e-12) + 1e-9))
     print(
         f"TRAIN-EQUIVALENCE: counts_equal={same_counts} row_equal={same_row} "
+        f"within_control_envelope={envelope_ok} "
         f"max_step_dloss={dl.max():.3e} max_eval_dout={max(dsed.max(), ddoa.max()):.3e}"
     )
-    if not same_counts:
+    if not (same_counts or envelope_ok):
         raise SystemExit(1)
 
 
