@@ -195,9 +195,12 @@ class _StatsBatchNorm(nn.Module):
     Used by the banded training frontend, where global batch stats are
     accumulated across frequency bands before normalization. Variable paths
     (params scale/bias; batch_stats mean/var) and the running-update formula
-    (retention momentum, biased batch var) match flax nn.BatchNorm / the
-    repo's torch-compatible BatchNorm exactly, so a module instantiated
-    under the same name is checkpoint-interchangeable with it.
+    (retention momentum; torch's UNBIASED running var — see BatchNorm in
+    models/layers.py) match the repo's torch-compatible BatchNorm exactly,
+    so a module instantiated under the same name is
+    checkpoint-interchangeable with it. ``n`` is the batch-stat element
+    count per channel (for the n/(n-1) unbiased running-var correction);
+    callers of ``update_running`` must pass it.
     """
 
     momentum: float = 0.9
@@ -205,7 +208,7 @@ class _StatsBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mean, var, update_running: bool = False,
-                 return_params: bool = False):
+                 return_params: bool = False, n: int = 0):
         """``return_params=True`` declares the variables and returns the raw
         (scale, bias) parameters instead of normalizing — the fused Pallas
         train-mode front-end feeds them into its kernel and routes their
@@ -222,8 +225,13 @@ class _StatsBatchNorm(nn.Module):
         if return_params:
             return scale, bias
         if update_running and not self.is_initializing():
+            assert n > 1, "pass n (batch-stat element count) for the unbiased update"
+            correction = n / (n - 1)
             ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+            ra_var.value = (
+                self.momentum * ra_var.value
+                + (1 - self.momentum) * var * correction
+            )
         inv = scale / jnp.sqrt(var + self.epsilon)
         return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
@@ -310,7 +318,7 @@ class _BandedTrainStage(nn.Module):
             # can't be mutated inside); the normalized dummy is discarded
             getattr(self, f"cnn_bn_{self.idx}")(
                 jnp.zeros((1, 1, 1, self.features), x.dtype),
-                mean, var, update_running=True,
+                mean, var, update_running=True, n=n,
             )
 
         def out_body(mdl, carry, xb):
@@ -436,7 +444,7 @@ class ConvTCBlock(nn.Module):
         bn(
             jnp.zeros((1, 1, 1, c), x.dtype),
             jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
-            update_running=True,
+            update_running=True, n=x.shape[0] * x.shape[1] * x.shape[2],
         )
         return nn.Dropout(self.dropout_perc)(out, deterministic=False)
 
@@ -486,6 +494,7 @@ class ConvTCBlock(nn.Module):
 
         interpret = "interpret" in self.frontend_impl
         t = x.shape[2]
+        f_cur = x.shape[1]  # conv output F per stage (pool halves after stats)
         h = None
         for i, (p, c) in enumerate(zip(self.pool_size, self.cnn_filters)):
             pool = (p[0], p[1]) if self.pool_time == "CNN" else (p[0], 1)
@@ -515,8 +524,9 @@ class ConvTCBlock(nn.Module):
             bn(
                 jnp.zeros((1, 1, 1, c), x.dtype),
                 jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var),
-                update_running=True,
+                update_running=True, n=x.shape[0] * f_cur * t,
             )
+            f_cur //= pool[0]
             h = nn.Dropout(self.dropout_perc)(h, deterministic=False)
         # back to channel-last (B, F', T, C') for the flatten
         return jnp.transpose(h[..., :t], (0, 1, 3, 2))

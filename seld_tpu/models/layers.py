@@ -360,10 +360,82 @@ class SpatialDropout1D(nn.Module):
 class BatchNorm(nn.BatchNorm):
     """BatchNorm over the last axis with torch-compatible hyperparameters
     (torch momentum 0.1 == flax retention 0.9, eps 1e-5). Parameters live
-    directly under this module's name (flat, for torch checkpoint import)."""
+    directly under this module's name (flat, for torch checkpoint import).
+
+    The running-variance update is torch.nn.BatchNorm's UNBIASED one
+    (var * n/(n-1), torch _BatchNorm.forward) — flax's stock update uses the
+    biased batch variance, a systematic n = B*T ~ 0.8%-scale skew on the
+    TCN running stats that the round-4 training-equivalence A/B exposed as
+    divergent post-training EVAL metrics (tools/train_equivalence.py: the
+    1e-13-perturbed torch control reproduced torch's metric row exactly
+    while the biased-update model did not). Normalization itself uses the
+    biased batch variance in train mode, same as torch."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import module as _module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = _module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), feature_shape
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=True,
+            )
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                correction = n / max(n - 1, 1)
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * correction
+                )
+        return _normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            True,
+        )
 
 
 class DepthwiseSeparableConv(nn.Module):

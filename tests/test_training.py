@@ -148,3 +148,38 @@ def test_infer_step_deterministic(rng):
     s1, d1 = infer(state.params, state.batch_stats, x)
     s2, d2 = infer(state.params, state.batch_stats, x)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_bn_running_stats_match_torch():
+    """Train-mode BN running-stat updates must follow torch semantics:
+    running_var uses the UNBIASED batch variance (var * n/(n-1)), running
+    stats decay with retention momentum 0.9 (torch momentum 0.1). The
+    round-4 training-equivalence A/B traced divergent post-training eval
+    metrics to exactly this (tools/train_equivalence.py / PARITY.md)."""
+    from seld_tpu.models.layers import BatchNorm
+
+    rng = np.random.default_rng(0)
+    xs = [rng.standard_normal((2, 5, 7)).astype(np.float32) for _ in range(3)]
+
+    tbn = torch.nn.BatchNorm1d(7, eps=1e-5, momentum=0.1)
+    tbn.train()
+    for x in xs:
+        tbn(torch.tensor(np.transpose(x, (0, 2, 1))))  # torch wants (B, C, T)
+
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]),
+                        use_running_average=False)
+    stats = variables["batch_stats"]
+    for x in xs:
+        _, upd = bn.apply(
+            {"params": variables.get("params", {}), "batch_stats": stats},
+            jnp.asarray(x), use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        stats = upd["batch_stats"]
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), tbn.running_mean.detach().numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), tbn.running_var.detach().numpy(), atol=1e-6
+    )
