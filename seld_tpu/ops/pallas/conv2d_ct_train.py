@@ -436,6 +436,14 @@ def _get_ct_op(h_shape, h_dtype, t, cout, pool_f, eps, interpret):
                 pf=pf, t=t, nf=nf, tpad=tpad,
             )
         else:
+            # the dx pass holds 3 pool groups' conv rows + pf+2 g_z rows +
+            # the 3pf+2-row input window live — at flagship widths
+            # (C=cout=192, pf=8) Mosaic's unconstrained stack demand is
+            # ~34 MB, over the 16 MB default scoped-VMEM limit. Narrower
+            # lane tiles do NOT help (measured: 19.7M at tt=128, 27.0M at
+            # 256 — the 256-lane halo and lane padding dominate); raising
+            # the limit does (34M fits v5e's 128 MB core alongside the
+            # ~17 MB of double-buffered windows).
             p3_spec = _win(
                 3 * pf + 2, c, lanes, lambda b, fo, ti: (b, fo * pf, 0, ti * tt)
             )
@@ -451,6 +459,9 @@ def _get_ct_op(h_shape, h_dtype, t, cout, pool_f, eps, interpret):
                 ),
                 out_shape=jax.ShapeDtypeStruct((b, f, c, tpad), p.dtype),
                 cost_estimate=cost(4),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=40 * 1024 * 1024
+                ),
             )(p, *common, gx, sg / n, sgx / n)
         if dh.shape[-1] != tin:
             dh = (
