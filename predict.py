@@ -75,7 +75,7 @@ def main(argv=None):
     # serving path: the Pallas-fused pipeline (BENCH.md) on TPU for BN
     # configs in bf16 — single-trunk AND 2Parallel/magphase (each branch runs
     # the per-stage fused dispatch); everything else (CPU, parity-f32,
-    # partial-BN, SE) uses model.apply
+    # partial-BN) uses model.apply; SE configs ride the fused path too
     use_fused = (
         args.impl == "fused"
         or (
@@ -84,7 +84,6 @@ def main(argv=None):
             and cfg.compute_dtype == "bfloat16"
             and cfg.batch_norm == "BN"
             and cfg.pool_time == "TCN"
-            and not cfg.use_se_block
         )
     )
     if use_fused:

@@ -177,6 +177,32 @@ def _make_tail_conv(model, features):
     )
 
 
+def _apply_se(se_p, h, h_layout, t_full):
+    """Eval-mode SE epilogue (models/layers.py::SEBlock) on a stage output in
+    any of the fused layouts. The squeeze runs in f32 (the SEBlock Denses
+    promote to f32); the excitation scale is per-(batch, channel), so scaling
+    the raw CT/CTH buffer — halo rows/lanes included — preserves the chain's
+    contracts (zero columns stay zero, halo lanes stay copies of their
+    channel's neighbors)."""
+    if h_layout in {"CT", "CTH"}:
+        interior = h
+        if h_layout == "CTH":
+            interior = h[:, 1:-1, :, CT_HALO:-CT_HALO]
+        f = interior.shape[1]
+        # CT contract: columns >= t_full are zero, so the full-lane sum is
+        # already masked; normalize by the valid count
+        s = jnp.sum(interior.astype(jnp.float32), axis=(1, 3)) / (f * t_full)
+    else:
+        s = jnp.mean(h.astype(jnp.float32), axis=(1, 2))
+    s = jnp.dot(s, se_p["Dense_0"]["kernel"]) + se_p["Dense_0"]["bias"]
+    s = jnp.maximum(s, 0.0)
+    s = jnp.dot(s, se_p["Dense_1"]["kernel"]) + se_p["Dense_1"]["bias"]
+    s = 1.0 / (1.0 + jnp.exp(-s))
+    if h_layout in {"CT", "CTH"}:
+        return h * s[:, None, :, None].astype(h.dtype)
+    return h * s[:, None, None, :].astype(h.dtype)
+
+
 def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
                  smallcin_impl="thin", ct_handoff="halo"):
     """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
@@ -237,6 +263,8 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
                     interpret=interpret, pre_halo=h_layout == "CTH",
                 )
                 h_layout = "CT"
+                if model.use_se_block:
+                    h = _apply_se(params[f"se_{i}"], h, h_layout, t_full)
                 continue
             # structural fallback: convert once to channel-last
             if h_layout == "CTH":
@@ -271,6 +299,8 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
             y = jnp.maximum(y * scale.astype(dtype) + bias.astype(dtype), 0.0)
             h = max_pool_2d(y, (int(pool[0]), 1))
             h_layout = "X"
+        if model.use_se_block:
+            h = _apply_se(params[f"se_{i}"], h, h_layout, t_full)
     if h_layout == "CT":
         # channel-major flatten straight from CT: (B, F, C, T) ->
         # (B, T, C*F), matching the reference's permute+reshape order
@@ -311,10 +341,6 @@ def fused_infer(model, variables, x, interpret: bool = False,
     assert model.batch_norm == "BN", (
         "fused_infer folds eval-mode BN into the convs (frontend AND TCN); "
         "partial/no-BN configs serve via model.apply"
-    )
-    assert not model.use_se_block, (
-        "fused_infer's frontend has no SE stage; SE configs serve via "
-        "model.apply"
     )
     dtype = jnp.bfloat16 if model.compute_dtype == "bfloat16" else jnp.float32
     all_p = variables["params"]

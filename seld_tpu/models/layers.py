@@ -496,4 +496,6 @@ class SEBlock(nn.Module):
         s = nn.relu(s)
         s = nn.Dense(c)(s)
         s = nn.sigmoid(s)
-        return x * s.reshape(s.shape[0], *([1] * len(axes)), c)
+        # keep the input dtype (the squeeze Denses promote to f32): a bf16
+        # stage output must stay bf16 or every downstream conv re-converts
+        return x * s.reshape(s.shape[0], *([1] * len(axes)), c).astype(x.dtype)

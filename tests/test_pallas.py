@@ -553,3 +553,52 @@ def test_fused_infer_bf16_ct_chain_matches_apply(rng):
     np.testing.assert_allclose(
         np.asarray(doa, np.float32), np.asarray(doa_ref, np.float32), atol=0.04
     )
+
+
+@pytest.mark.parametrize("filters", [(8, 8, 8), (16, 16, 16)])
+def test_fused_infer_se_block_matches_model(rng, filters):
+    """SE configs ride the fused path too (round-4): the per-stage SE
+    epilogue (_apply_se) on the FTC / XLA-wide layouts must match
+    model.apply with use_se_block=True."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=filters, pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+        use_se_block=True,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
+
+
+def test_fused_infer_se_block_bf16_ct_chain(rng):
+    """SE epilogue applied directly on the CT/CTH chain buffers (scaling is
+    per-(batch, channel), so the halo'd handoff stays consistent) must track
+    model.apply at bf16 tolerance."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(16, 16, 16), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+        compute_dtype="bfloat16", use_se_block=True,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = model.apply(variables, x, train=False)
+    sed, doa = fused_infer(model, variables, x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(sed, np.float32), np.asarray(sed_ref, np.float32), atol=0.04
+    )
+    np.testing.assert_allclose(
+        np.asarray(doa, np.float32), np.asarray(doa_ref, np.float32), atol=0.04
+    )

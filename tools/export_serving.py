@@ -118,7 +118,6 @@ def main(argv=None):
             and cfg.parallel_ConvTC_block in {"False", "false", "None", "none"}
             and cfg.batch_norm == "BN"
             and cfg.pool_time == "TCN"
-            and not cfg.use_se_block
         )
         impl = "fused" if fused_ok else "apply"
 
