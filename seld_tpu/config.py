@@ -170,6 +170,11 @@ class SELDConfig:
                                           # removed the memory pressure); True/False force it
     frontend_bands: int = 0               # >1: banded eval-time CNN stage 1 (serving memory cap)
     frontend_impl: str = "auto"           # 'auto' | 'pallas' | 'pallas-interpret' | 'xla': fused train-mode stage 1
+    grad_accum_steps: int = 1             # >1: split each batch into N sequential microbatches
+                                          # (lax.scan) and average their grads before ONE Adam
+                                          # update — trains any batch size in a microbatch's
+                                          # activation footprint (BN normalizes per microbatch,
+                                          # like torch grad accumulation)
 
     # ------------------------------------------------------------------
     _BOOL_FIELDS = frozenset({

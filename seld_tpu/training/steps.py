@@ -67,37 +67,78 @@ def get_learning_rate(state: TrainState) -> float:
 
 
 def make_train_step(model, tx, cfg):
-    """Returns jitted (state, x, y) -> (state, loss). x is (B, C, F, T)."""
+    """Returns jitted (state, x, y) -> (state, loss). x is (B, C, F, T).
+
+    With ``cfg.grad_accum_steps > 1`` the batch is split into that many
+    sequential microbatches under ``lax.scan``: gradients are averaged into
+    ONE Adam update, dropout draws a fresh key per microbatch, and BatchNorm
+    normalizes per microbatch with running stats chained through the scan —
+    torch gradient-accumulation semantics. Activation memory is a single
+    microbatch's, so any batch size trains in a fixed footprint (the b64+
+    knob; BENCH.md round 4)."""
     precision = "highest" if cfg.compute_dtype == "float32" else "default"
+    accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y):
         with jax.default_matmul_precision(precision):
             return _train_step_impl(state, x, y)
 
+    def loss_fn(params, batch_stats, x, y, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, updates = model.apply(
+            variables, x, train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"] if batch_stats else [],
+        )
+        sed, doa = out
+        loss = seld_loss(
+            sed, doa, y,
+            output_classes=cfg.output_classes,
+            class_overlaps=int(cfg.class_overlaps),
+            sed_weight=cfg.sed_loss_weight,
+            doa_weight=cfg.doa_loss_weight,
+        )
+        return loss, updates.get("batch_stats", batch_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     def _train_step_impl(state: TrainState, x, y):
         step_rng = jax.random.fold_in(state.rng, state.step)
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            out, updates = model.apply(
-                variables, x, train=True,
-                rngs={"dropout": step_rng},
-                mutable=["batch_stats"] if state.batch_stats else [],
-            )
-            sed, doa = out
-            loss = seld_loss(
-                sed, doa, y,
-                output_classes=cfg.output_classes,
-                class_overlaps=int(cfg.class_overlaps),
-                sed_weight=cfg.sed_loss_weight,
-                doa_weight=cfg.doa_loss_weight,
-            )
-            return loss, updates.get("batch_stats", state.batch_stats)
+        # per-shape trace-time dispatch: a remainder batch that doesn't
+        # divide (loader.py yields at most one per epoch) runs the direct
+        # step at its own shape instead of asserting
+        if accum > 1 and x.shape[0] % accum == 0 and x.shape[0] >= accum:
+            b = x.shape[0]
+            mb = b // accum
+            xs = x.reshape(accum, mb, *x.shape[1:])
+            ys = y.reshape(accum, mb, *y.shape[1:])
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def body(carry, inp):
+                stats, gsum, i = carry
+                xi, yi = inp
+                (loss, stats), g = grad_fn(
+                    state.params, stats, xi, yi,
+                    jax.random.fold_in(step_rng, i),
+                )
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (stats, gsum, i + 1), loss
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            carry0 = (state.batch_stats, gzero, jnp.zeros((), jnp.int32))
+            (new_stats, gsum, _), losses = jax.lax.scan(
+                body, carry0, (xs, ys)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss = jnp.mean(losses)
+        else:
+            (loss, new_stats), grads = grad_fn(
+                state.params, state.batch_stats, x, y, step_rng
+            )
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -94,6 +94,65 @@ def test_train_step_decreases_loss(rng):
     assert int(state.step) == 12
 
 
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum_steps=2 must reproduce the full-batch step when BN and
+    dropout are off (gradient of a mean is linear; loss mean-of-means ==
+    full-batch mean for equal microbatches). Runs in f64 so summation-order
+    noise sits at 1e-15 and any real semantics bug stands out by ~8 orders
+    (same rationale as __graft_entry__._dryrun_train_parity)."""
+    from jax._src.config import enable_x64
+
+    with enable_x64(True):
+        cfg = _tiny_cfg().replace(
+            batch_size=4, batch_norm="None", dropout_perc=0.0,
+            spatial_dropout_rate=0.0,
+        )
+        model = _tiny_model(cfg)
+        x = jnp.asarray(rng.standard_normal((4, 8, 16, 16)))
+        y = jnp.asarray((rng.uniform(size=(4, 2, 168)) < 0.1).astype(np.float64))
+        state0, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+        full = make_train_step(model, tx, cfg)
+        sf, loss_f = full(copy(state0), x, y)
+        acc = make_train_step(model, tx, cfg.replace(grad_accum_steps=2))
+        sa, loss_a = acc(copy(state0), x, y)
+
+        np.testing.assert_allclose(float(loss_a), float(loss_f), rtol=1e-12)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(sa.params),
+            jax.tree_util.tree_leaves(sf.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+        assert int(sa.step) == 1
+
+
+def test_grad_accum_bn_dropout_runs(rng):
+    """With BN + dropout on (the flagship setting), the accumulated step must
+    run, chain running stats through the scan, and decrease the loss."""
+    cfg = _tiny_cfg().replace(batch_size=4, grad_accum_steps=2)
+    model = _tiny_model(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 8, 16, 16)).astype(np.float32))
+    y = jnp.zeros((4, 2, 168), jnp.float32)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+    stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    step = make_train_step(model, tx, cfg)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # running stats moved (the scan-carried updates reached the state)
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.batch_stats),
+            jax.tree_util.tree_leaves(stats0),
+        )
+    )
+    assert moved
+
+
 def test_set_learning_rate_no_recompile(rng):
     cfg = _tiny_cfg()
     model = _tiny_model(cfg)

@@ -52,6 +52,7 @@ def run_point(dtype: str, batch: int, iters: int = 5):
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
         input_channels=8, compute_dtype=dtype,
+        grad_accum_steps=int(os.environ.get("TB_ACCUM", "1")),
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 8, 256, 4800)).astype(np.float32))
