@@ -174,6 +174,15 @@ class Trainer:
         rf, n_rb = self.model.receptive_field()
         self._log(f"Receptive Field: {rf}  ResBlocks: {n_rb}")
         self._log(f"Total parameters: {n_params}")
+        if self.verbose:
+            # per-module parameter table + name-field breakdown — the
+            # torchinfo.summary / print_model_name surface
+            # (reference train.py:483, model.py:519-546)
+            from seld_tpu.utils import describe_model_name, model_summary
+
+            for line in describe_model_name(self.model.model_name):
+                self._log("  " + line)
+            self._log(model_summary(self.state.params, depth=2))
         self.n_params = n_params
 
     # ------------------------------------------------------------- primitives

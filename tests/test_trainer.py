@@ -186,3 +186,36 @@ def test_export_serving_roundtrip(tmp_path, monkeypatch):
     got = jax.jit(exp2.call)(variables, audio)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), atol=1e-6)
+
+
+def test_model_summary_and_name_breakdown(rng):
+    """model_summary groups the flax params tree into a per-module table
+    whose total equals the leaf sum; describe_model_name labels every field
+    of the synthesized name (reference train.py:483 / model.py:519-546)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.utils import describe_model_name, model_summary, summarize_params
+
+    from seld_tpu.models import SELDModel
+
+    model = SELDModel(
+        time_dim=16, freq_dim=16, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(8, 8), fc_layers=(8,),
+        batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.zeros((1, 8, 16, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rows, total = summarize_params(variables["params"])
+    assert total == sum(r[2] for r in rows) and total > 0
+    table = model_summary(variables["params"], depth=2)
+    assert f"{total:,}" in table and "TOTAL" in table
+    assert "seld_block/cnn_0" in table
+
+    fields = describe_model_name(model.model_name)
+    text = "\n".join(fields)
+    assert "model family: DualQSELD-TCN" in text
+    assert "batch-norm type: BN" in text
+    assert "receptive field:" in text and "ResBlocks: 2" in text
+    assert "extra:" not in text  # every field of the flagship name is labeled
