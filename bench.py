@@ -99,7 +99,12 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
 
         group = stft_group_size(512, 112)
         audio_shape = (batch, 8, (sr * secs) // group, group)
-    do_donate = (donate == "on") or (donate == "auto" and impl == "fused" and dp == 1)
+    # donation is a MEMORY knob, not a speed knob: measured at b96 the
+    # donated program on a fresh synced buffer per iter runs 392 ms vs the
+    # steady-state 339 ms (BENCH.md round 4), and the b128 unlock it aimed at
+    # still OOMs on the structural stage-1 CTH buffers. 'auto' therefore
+    # resolves OFF; --donate on remains the production-shaped mode.
+    do_donate = donate == "on"
     assert not (do_donate and dp > 1), "--donate on requires --dp 1"
     if do_donate:
         audio = None  # donated mode materializes audio on-device per iter
@@ -164,14 +169,12 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         variables = shard_variables(mesh, variables)
         audio = shard_batch(mesh, audio)
 
-    # Input donation (the b128 serving unlock, BENCH.md round 4): production
-    # serving consumes a fresh audio buffer per batch, so the pipeline may
-    # alias the 60 MB/clip f32 input for its own temporaries (7.86 GB at
-    # b128 — the compile-OOM margin). Donation invalidates the buffer, so
-    # the timed loop re-materializes audio on-device each iteration with a
-    # cheap bandwidth-bound fill (stand-in for the arriving DMA); the fill's
-    # own cost is measured separately and subtracted.
-    fill_ms = 0.0
+    # Input donation (BENCH.md round 4): production serving consumes a fresh
+    # audio buffer per batch, so the pipeline may reuse the 60 MB/clip f32
+    # input's memory for its own temporaries. Measured: it DOES free the
+    # held audio from the b128 allocation dump, but b128 still OOMs on the
+    # structural stage-1 CTH buffers, and the donated program itself is not
+    # faster — donation is a memory/production-realism knob only.
     if do_donate:
         pipeline = jax.jit(pipeline_fn, donate_argnums=(1,))
         shape = audio_shape
@@ -186,26 +189,19 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         peek = jax.jit(lambda o: o[0].ravel()[:64])
         out = pipeline(variables, fill(idx[0]))  # compile + warmup
         np.asarray(peek(out))
-        fills = []
-        for k in range(3):  # fill-only cost, same D2H sync discipline
-            t0 = time.time()
-            a = fill(idx[k])
-            np.asarray(tiny(a))
-            fills.append(time.time() - t0)
-            del a
-        fill_ms = float(np.median(fills)) * 1000.0
+        # each iteration runs on a FRESH synced buffer (donation invalidates
+        # the previous one); only the pipeline call + peek is timed — the
+        # identical discipline as the non-donated rows, so numbers compare
         times = []
         for k in range(iters):
+            a = fill(idx[k + 1])
+            np.asarray(tiny(a))  # materialize + sync OUTSIDE the timed span
             t0 = time.time()
-            out = pipeline(variables, fill(idx[k + 1]))
+            out = pipeline(variables, a)
             np.asarray(peek(out))
             times.append(time.time() - t0)
-        dt = max(float(np.median(times)) - fill_ms / 1000.0, 1e-9)
-        print(
-            f"donated-input mode: fill {fill_ms:.1f} ms/iter (subtracted), "
-            f"gross {float(np.median(times))*1000:.1f} ms",
-            file=sys.stderr,
-        )
+        dt = float(np.median(times))
+        print("donated-input mode (fresh synced buffer per iter)", file=sys.stderr)
         audio_hours = batch * secs / 3600.0
         return audio_hours / dt, dt
 
@@ -258,10 +254,9 @@ def main():
     )
     ap.add_argument(
         "--donate", type=str, default="auto", choices=["auto", "on", "off"],
-        help="donate the audio input buffer to the pipeline (auto: on for "
-        "the fused bf16 path at dp=1 — lets XLA alias the held f32 audio "
-        "for temps, the b128 unlock; timed loop then re-fills audio "
-        "on-device each iter and subtracts the measured fill cost)",
+        help="donate the audio input buffer to the pipeline (production-"
+        "shaped mode: a fresh synced buffer per call; a memory knob, not a "
+        "speed knob — 'auto' resolves off, see BENCH.md round 4)",
     )
     ap.add_argument("--measure-ref", action="store_true")
     args = ap.parse_args()
