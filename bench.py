@@ -71,7 +71,8 @@ def measure_reference():
 
 
 def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
-                smallcin: str = "thin", donate: str = "auto"):
+                smallcin: str = "thin", donate: str = "auto",
+                timing: str = "sync"):
     import jax
     import jax.numpy as jnp
 
@@ -215,13 +216,30 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
     # dispatched over the materialized output — the tunnel moves ~20 MB/s,
     # so reading the full sed tensor (1.6 MB at b16) would add ~80 ms of
     # pure transfer that production serving never pays.
-    times = []
-    for _ in range(iters):
+    if timing == "pipelined":
+        # steady-state THROUGHPUT: keep the device queue non-empty by
+        # dispatching every iteration before the single D2H sync. XLA
+        # executes enqueued programs in order, so the final peek
+        # transitively waits on all prior batches — the timing still ends
+        # on a device-to-host read (the only trustworthy sync through the
+        # axon tunnel, CLAUDE.md), but the per-call host+tunnel dispatch
+        # round-trip (~27 ms here; ~0 for a co-located production host)
+        # overlaps device compute instead of serializing with it. Per-batch
+        # LATENCY is the --timing sync number.
+        outs = []
         t0 = time.time()
-        out = pipeline(variables, audio)
-        np.asarray(peek(out))
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
+        for _ in range(iters):
+            outs.append(pipeline(variables, audio))
+        np.asarray(peek(outs[-1]))
+        dt = (time.time() - t0) / iters
+    else:
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = pipeline(variables, audio)
+            np.asarray(peek(out))
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
     audio_hours = batch * secs / 3600.0
     return audio_hours / dt, dt
 
@@ -258,6 +276,13 @@ def main():
         "shaped mode: a fresh synced buffer per call; a memory knob, not a "
         "speed knob — 'auto' resolves off, see BENCH.md round 4)",
     )
+    ap.add_argument(
+        "--timing", type=str, default="sync", choices=["sync", "pipelined"],
+        help="sync: D2H read every batch (per-batch latency; pays the "
+        "~27 ms tunnel dispatch round-trip each call). pipelined: dispatch "
+        "all iters, one final D2H sync (steady-state throughput — what a "
+        "co-located serving host sees)",
+    )
     ap.add_argument("--measure-ref", action="store_true")
     args = ap.parse_args()
     if args.impl is None:
@@ -270,7 +295,7 @@ def main():
 
     value, dt = measure_tpu(
         args.batch, args.iters, args.dtype, args.impl, args.dp, args.smallcin,
-        args.donate,
+        args.donate, args.timing,
     )
     print(
         f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "

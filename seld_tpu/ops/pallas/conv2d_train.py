@@ -23,12 +23,19 @@ layout, packed ONCE and saved as the sole large residual):
 
   backward (stage 1's input is the data — no dx needed, so the VJP is
   only dW, dgamma, dbeta):
-    pass B1  _bwd_stats_kernel recompute conv/xhat, route the pooled
-                               cotangent through argmax+ReLU masks,
-                               accumulate S_g = sum(g_pre) (= dbeta) and
-                               S_gx = sum(g_pre * xhat) (= dgamma)
-    pass B2  _bwd_dw_kernel    recompute again, apply the batch-stats BN
-                               backward g_z = scale*(g_pre - S_g/N -
+    [XLA]    pooled-output stats  S_g = sum(g_pre) (= dbeta) and
+                               S_gx = sum(g_pre * xhat) (= dgamma) WITHOUT
+                               any conv recompute: g_pre is nonzero only at
+                               the maxpool-selected row, and there (when
+                               out > 0) the selected pre-activation EQUALS
+                               the saved pooled output, so acc_sel =
+                               (out - bias)/scale recovers xhat_sel from
+                               the forward output alone (round-4 attack:
+                               this deletes the former _bwd_stats_kernel
+                               pass — one full conv recompute + routing +
+                               pack re-read — per step)
+    pass B2  _bwd_dw_kernel    recompute conv once, apply the batch-stats
+                               BN backward g_z = scale*(g_pre - S_g/N -
                                xhat*S_gx/N), accumulate
                                dWk += g_z @ stack^T per pool row
 
@@ -36,9 +43,11 @@ Reference semantics reproduced: the stage composition at
 /root/reference/model.py:261-287 (Conv -> BatchNorm2d -> ReLU -> MaxPool2d)
 with torch/flax batch statistics (biased variance, mean-of-squares form) and
 reduce_window's first-match maxpool tie-routing (window order = increasing
-frequency row). Max-row routing recomputes the conv twice per backward pass;
-the two recomputations are bitwise identical (same ops, same order), so the
-equality-based first-match selection is exact.
+frequency row). The forward and backward conv recomputations are bitwise
+identical (same ops, same order), so the equality-based first-match
+selection is exact. Note the S_g/S_gx recovery needs only the SELECTED
+value (== the pooled output), never which row was selected — ties resolve
+identically by construction.
 
 Gradient accumulation across the sequential TPU grid uses constant-index
 output blocks (zero-initialized at the first grid step) — the revisited
@@ -165,29 +174,6 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
         taken = taken | hit
         g_pre = jnp.where(hit & (pre > 0.0), g, 0.0)
         yield r, g_pre, acc
-
-
-def _bwd_stats_kernel(
-    p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, sg_ref, sgx_ref,
-    *, pf, kg, stacked, precision, thin=False, tt=None,
-):
-    @pl.when(_first_step())
-    def _init():
-        sg_ref[...] = jnp.zeros_like(sg_ref)
-        sgx_ref[...] = jnp.zeros_like(sgx_ref)
-
-    g = g_ref[0, 0].astype(jnp.float32)
-    sg = jnp.zeros_like(sg_ref)
-    sgx = jnp.zeros_like(sgx_ref)
-    for _r, g_pre, acc in _routed_rows(
-        p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
-        precision=precision, thin=thin, tt=tt,
-    ):
-        xhat = (acc - mu_ref[...]) * iv_ref[...]
-        sg = sg + jnp.sum(g_pre, axis=1, keepdims=True)
-        sgx = sgx + jnp.sum(g_pre * xhat, axis=1, keepdims=True)
-    sg_ref[...] = sg_ref[...] + sg
-    sgx_ref[...] = sgx_ref[...] + sgx
 
 
 def _bwd_dw_kernel(
@@ -378,7 +364,9 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
             out = out_ct  # (B, F//pf, Cout, tpad), cols >= t zeroed in-kernel
         else:
             out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
-        return (out, mean, var), (p0, wk, mean, inv, scale, bias)
+        # `out` in the residuals aliases the op's own output (stage 2 keeps
+        # it live as ITS residual anyway) — no extra HBM footprint
+        return (out, mean, var), (p0, wk, mean, inv, scale, bias, out)
 
     @jax.custom_vjp
     def op(x, w, gamma, beta):
@@ -387,9 +375,34 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
 
     def vjp_bwd(res, cts):
         g_out, _g_mean, _g_var = cts  # mean/var feed running stats only
-        p0, wk, mean, inv, scale, bias = res
+        p0, wk, mean, inv, scale, bias, out = res
         grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret, thin)
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
+
+        # S_g / S_gx from the pooled forward output, in plain XLA (no conv
+        # recompute, no routing, no pack re-read): g_pre is nonzero only at
+        # the maxpool-selected row AND where its pre-activation is positive —
+        # there y = pre = out, so acc_sel = (out - bias) / scale and
+        # xhat_sel = (acc_sel - mean) * inv. Where out == 0 the selected
+        # row's ReLU gradient is zero (strict `pre > 0`), and padded CT time
+        # columns are zeroed in-kernel, so `out > 0` masks both. This is NOT
+        # the forbidden merged-backward decomposition (BENCH.md round 3): no
+        # dot is split — B2 still subtracts inside the kernel before its dW
+        # dot. scale == 0 (gamma exactly 0) makes acc unrecoverable; the
+        # guard degrades that channel's dgamma to 0 instead of NaN (measure-
+        # zero during training; dbeta/dW stay exact).
+        cax = 2 if out_layout == "CT" else 3
+        cshape = [1, 1, 1, 1]
+        cshape[cax] = cout
+        colb = lambda v: v.astype(jnp.float32).reshape(cshape)
+        of = out.astype(jnp.float32)
+        safe_scale = jnp.where(scale == 0.0, 1.0, scale)
+        xhat_sel = ((of - colb(bias)) / colb(safe_scale) - colb(mean)) * colb(inv)
+        xhat_sel = jnp.where(colb(scale) == 0.0, 0.0, xhat_sel)
+        gsel = jnp.where(of > 0.0, g_out.astype(jnp.float32), 0.0)
+        axes = tuple(i for i in range(4) if i != cax)
+        sg = jnp.sum(gsel, axis=axes).reshape(cout, 1)
+        sgx = jnp.sum(gsel * xhat_sel, axis=axes).reshape(cout, 1)
 
         # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
         # time columns carry zero cotangent -> no contribution to the sums
@@ -409,27 +422,6 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
             w_spec, _col_spec(cout), _col_spec(cout), _col_spec(cout),
             _col_spec(cout),
         ]
-
-        sg, sgx = pl.pallas_call(
-            functools.partial(
-                _bwd_stats_kernel, pf=pf, kg=kg, stacked=interpret,
-                precision=precision, thin=thin, tt=tt,
-            ),
-            grid=grid,
-            in_specs=[p_spec, *common_specs, g_spec],
-            out_specs=[_col_spec(cout), _col_spec(cout)],
-            out_shape=[
-                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=4 * b * f * tpad * (72 if thin else 3 * kg) * cout,
-                bytes_accessed=b * f * tpad * (8 if thin else kg)
-                * p0.dtype.itemsize,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(pin, *common, gt)
 
         n = b * f * t
         kdim = 72 if thin else 3 * kg
