@@ -72,7 +72,7 @@ def measure_reference():
 
 def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
                 smallcin: str = "thin", donate: str = "auto",
-                timing: str = "sync"):
+                timing: str = "sync", microbatch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +107,13 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
     # resolves OFF; --donate on remains the production-shaped mode.
     do_donate = donate == "on"
     assert not (do_donate and dp > 1), "--donate on requires --dp 1"
+    # donated mode has its own timed loop (fresh synced buffer per iter) and
+    # returns before the timing-mode branch — a silent --timing pipelined
+    # there would measure something else than it claims (ADVICE r4)
+    assert not (do_donate and timing == "pipelined"), (
+        "--donate on measures per-batch sync latency; --timing pipelined is "
+        "unavailable in donated mode"
+    )
     if do_donate:
         audio = None  # donated mode materializes audio on-device per iter
     else:
@@ -147,13 +154,17 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
                 from seld_tpu.ops.pallas.stft import stft_mag_pallas
 
                 sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-                feats = stft_mag_pallas(
-                    audio, nperseg=512, noverlap=112, out_dtype=sdt,
-                    grouped_input=audio.ndim == 4,
+                featurize = lambda a: stft_mag_pallas(
+                    a, nperseg=512, noverlap=112, out_dtype=sdt,
+                    grouped_input=a.ndim == 4,
                 )
+                # microbatch > 1: STFT + CNN frontend scan over microbatches
+                # (caps the structural stage-1 buffers — the b128 ceiling,
+                # BENCH.md round 4); TCN + heads stay full-batch
                 return fused_infer(
-                    model, variables, feats, input_layout="BCTF",
-                    smallcin_impl=smallcin,
+                    model, variables, audio, input_layout="BCTF",
+                    smallcin_impl=smallcin, microbatch=microbatch,
+                    featurize=featurize,
                 )
             feats = jax.vmap(
                 lambda a: spectrum_fast(a, nperseg=512, noverlap=112, output_phase=False)
@@ -226,11 +237,14 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         # round-trip (~27 ms here; ~0 for a co-located production host)
         # overlaps device compute instead of serializing with it. Per-batch
         # LATENCY is the --timing sync number.
-        outs = []
+        # keep only the most recent output: enqueue order guarantees the
+        # final peek transitively syncs all prior dispatches, and holding
+        # every iteration's buffers alive adds avoidable HBM pressure at the
+        # b96 memory ceiling (ADVICE r4)
         t0 = time.time()
         for _ in range(iters):
-            outs.append(pipeline(variables, audio))
-        np.asarray(peek(outs[-1]))
+            out = pipeline(variables, audio)
+        np.asarray(peek(out))
         dt = (time.time() - t0) / iters
     else:
         times = []
@@ -277,6 +291,12 @@ def main():
         "speed knob — 'auto' resolves off, see BENCH.md round 4)",
     )
     ap.add_argument(
+        "--microbatch", type=int, default=1,
+        help="scan the STFT + CNN frontend over this many microbatches "
+        "inside the fused pipeline (memory knob for b128+; outputs "
+        "identical — BENCH.md round 5)",
+    )
+    ap.add_argument(
         "--timing", type=str, default="sync", choices=["sync", "pipelined"],
         help="sync: D2H read every batch (per-batch latency; pays the "
         "~27 ms tunnel dispatch round-trip each call). pipelined: dispatch "
@@ -295,7 +315,7 @@ def main():
 
     value, dt = measure_tpu(
         args.batch, args.iters, args.dtype, args.impl, args.dp, args.smallcin,
-        args.donate, args.timing,
+        args.donate, args.timing, args.microbatch,
     )
     print(
         f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "

@@ -33,10 +33,13 @@ def load_audio(path: str, sr: int):
             raise ValueError(f"{path}: sample rate {file_sr} != configured {sr}")
         if data.ndim == 1:
             data = data[:, None]
-        data = data.T.astype("float32")
+        # PCM integer WAVs must be rescaled to +-1.0 BEFORE the float cast
+        # (checking after astype always sees kind=='f' — round-4 bug: int16
+        # clips entered the model at +-32k scale)
         if data.dtype.kind == "i":
-            data = data / 32768.0
-        return data
+            scale = float(np.iinfo(data.dtype).max) + 1.0
+            data = data.astype("float32") / scale
+        return data.T.astype("float32")
     raise ValueError(f"unsupported audio format: {path}")
 
 

@@ -203,12 +203,14 @@ def _apply_se(se_p, h, h_layout, t_full):
     return h * s[:, None, None, :].astype(h.dtype)
 
 
-def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
-                 smallcin_impl="thin", ct_handoff="halo"):
-    """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
+def _trunk_frontend(model, params, stats, x, dtype, interpret, input_layout,
+                    smallcin_impl="thin", ct_handoff="halo"):
+    """CNN front-end of one trunk, flattened for the TCN: (B, T, C*F).
 
     x: (B, C, F, T) or — ``input_layout='BCTF'`` — (B, C, T, F).
-    Returns (B, T_pooled, V[-1])."""
+    Split out of the trunk so serving can scan it over microbatches (the
+    b128 structural ceiling is stage-1's CTH output + packed input,
+    BENCH.md round 4) while the TCN runs full-batch."""
     cin0 = x.shape[1]
     if input_layout == "BCTF" and 3 * cin0 <= 32:
         h = jnp.transpose(x, (0, 3, 1, 2)).astype(dtype)  # (B, F, C, T)
@@ -311,12 +313,25 @@ def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
     else:
         b, f, t, c = h.shape
         h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, c * f)
+    return h
+
+
+def _fused_trunk(model, params, stats, x, dtype, interpret, input_layout,
+                 smallcin_impl="thin", ct_handoff="halo"):
+    """One ConvTC trunk (frontend stages + TCN) from its variables subtree.
+
+    Returns (B, T_pooled, V[-1])."""
+    h = _trunk_frontend(
+        model, params, stats, x, dtype, interpret, input_layout,
+        smallcin_impl, ct_handoff,
+    )
     return _fused_tcn(model, params["tcn"], stats.get("tcn", {}), h, dtype)
 
 
 def fused_infer(model, variables, x, interpret: bool = False,
                 input_layout: str = "BCFT", smallcin_impl: str = "thin",
-                ct_handoff: str = "halo"):
+                ct_handoff: str = "halo", microbatch: int = 1,
+                featurize=None):
     """(sed, doa) for a SELDModel, Pallas-fused frontend.
 
     Supports the single-trunk configs AND the 2Parallel / parallel_magphase
@@ -328,6 +343,15 @@ def fused_infer(model, variables, x, interpret: bool = False,
     ``input_layout='BCTF'`` — the conv-STFT's native (B, C, T, F) order,
     which hands the first smallcin stage its channel-on-sublane layout with
     ONE transpose instead of three (spectrum swap + entry + packer).
+
+    ``microbatch=M`` runs featurization + CNN front-end as a ``lax.map``
+    scan over M microbatches (outputs identical — eval-mode stages are
+    batch-independent), capping the frontend's structural buffers (stage-1
+    CTH output + packed input, the b128 compile-OOM of BENCH.md round 4)
+    at one microbatch's size; the TCN + heads stay full-batch. With
+    ``featurize`` given, ``x`` is raw audio and ``featurize`` maps one
+    audio microbatch to features INSIDE the scan (halving the STFT temps
+    too).
     """
     assert input_layout in {"BCFT", "BCTF"}, input_layout
     # mirror seld.py:130 exactly: ONLY the 2Parallel spellings branch; every
@@ -346,33 +370,54 @@ def fused_infer(model, variables, x, interpret: bool = False,
     all_p = variables["params"]
     all_s = variables.get("batch_stats", {})
 
+    def frontends(feats):
+        """Flattened TCN inputs, one per trunk, from one features batch."""
+        if parallel:
+            # channel split on axis 1 == the model's channel-last split after
+            # its entry transpose (seld.py:130-140)
+            if model.parallel_magphase:
+                x_a = jnp.concatenate([feats[:, 0:4], feats[:, 8:12]], axis=1)
+                x_b = jnp.concatenate([feats[:, 4:8], feats[:, 12:]], axis=1)
+            else:
+                half = model.input_channels // 2
+                x_a, x_b = feats[:, :half], feats[:, half:]
+            return tuple(
+                _trunk_frontend(
+                    model, all_p[br], all_s.get(br, {}), xb, dtype,
+                    interpret, input_layout, smallcin_impl, ct_handoff,
+                )
+                for br, xb in (("branch_A", x_a), ("branch_B", x_b))
+            )
+        return (
+            _trunk_frontend(
+                model, all_p["seld_block"], all_s.get("seld_block", {}),
+                feats, dtype, interpret, input_layout, smallcin_impl,
+                ct_handoff,
+            ),
+        )
+
+    feat = featurize if featurize is not None else (lambda a: a)
+    if microbatch > 1:
+        bsz = x.shape[0]
+        assert bsz % microbatch == 0, (bsz, microbatch)
+        xm = x.reshape(microbatch, bsz // microbatch, *x.shape[1:])
+        hs = jax.lax.map(lambda a: frontends(feat(a)), xm)
+        hs = tuple(t.reshape(bsz, *t.shape[2:]) for t in hs)
+    else:
+        hs = frontends(feat(x))
+
+    def tcn_of(trunk, h):
+        return _fused_tcn(
+            model, all_p[trunk]["tcn"], all_s.get(trunk, {}).get("tcn", {}),
+            h, dtype,
+        )
+
     if parallel:
-        # channel split on axis 1 == the model's channel-last split after its
-        # entry transpose (seld.py:130-140)
-        if model.parallel_magphase:
-            x_a = jnp.concatenate([x[:, 0:4], x[:, 8:12]], axis=1)
-            x_b = jnp.concatenate([x[:, 4:8], x[:, 12:]], axis=1)
-        else:
-            half = model.input_channels // 2
-            x_a, x_b = x[:, :half], x[:, half:]
         h = jnp.concatenate(
-            [
-                _fused_trunk(
-                    model, all_p["branch_A"], all_s.get("branch_A", {}),
-                    x_a, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
-                ),
-                _fused_trunk(
-                    model, all_p["branch_B"], all_s.get("branch_B", {}),
-                    x_b, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
-                ),
-            ],
-            axis=-1,
+            [tcn_of("branch_A", hs[0]), tcn_of("branch_B", hs[1])], axis=-1
         )
     else:
-        h = _fused_trunk(
-            model, all_p["seld_block"], all_s.get("seld_block", {}),
-            x, dtype, interpret, input_layout, smallcin_impl, ct_handoff,
-        )
+        h = tcn_of("seld_block", hs[0])
 
     cdom = model.classifier_domain
     top = variables["params"]

