@@ -17,6 +17,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 _WORKER = textwrap.dedent(
     """
@@ -75,6 +76,151 @@ _WORKER = textwrap.dedent(
     print("RESULT " + json.dumps({"pid": pid, "rows": rows, "means": means}))
     """
 )
+
+
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    import numpy as np
+
+    coordinator, pid = sys.argv[1], int(sys.argv[2])
+
+    from seld_tpu.parallel import multihost
+    assert multihost.initialize(coordinator, 2, pid)
+
+    import jax
+    import jax.numpy as jnp
+    from jax._src.config import enable_x64
+    from seld_tpu.config import SELDConfig
+    from seld_tpu.models import model_from_config
+    from seld_tpu.parallel.mesh import make_mesh, shard_variables
+    from seld_tpu.training import create_train_state, make_train_step
+
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    with enable_x64(True):
+        mesh = make_mesh(2, 2)                     # dp x tp across processes
+        cfg = SELDConfig(
+            domain="DQ", domain_classifier="DQ", input_channels=8,
+            freq_dim=16, time_dim=16, cnn_filters=[8, 8, 8],
+            pool_size=[[2, 2], [2, 2], [2, 2]], pool_time="TCN", D=[2],
+            G=8, U=8, V=[8, 8], fc_layers=[8], batch_size=4, lr=1e-4,
+            attention_impl="full", use_bias_conv=False, use_bias_linear=True,
+        )
+        model = model_from_config(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 8, 16, 16)))
+        y = jnp.asarray(
+            (rng.uniform(size=(4, 2, 168)) < 0.1).astype(np.float64)
+        )
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+        step = make_train_step(model, tx, cfg)
+        state = state.replace(
+            params=shard_variables(mesh, state.params),
+            batch_stats=shard_variables(mesh, state.batch_stats),
+        )
+        # each process contributes ITS batch rows; global_batch assembles the
+        # dp-sharded global arrays (the production loader path)
+        lo, hi = pid * 2, pid * 2 + 2
+        xg, yg = multihost.global_batch(mesh, np.asarray(x[lo:hi]),
+                                        np.asarray(y[lo:hi]))
+        state, loss1 = step(state, xg, yg)
+        state, loss2 = step(state, xg, yg)
+
+        tree_sum = jax.jit(
+            lambda t: jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float64)), t, 0.0
+            )
+        )
+        print("RESULT " + json.dumps({
+            "pid": pid,
+            "loss1": float(loss1), "loss2": float(loss2),
+            "psum": float(tree_sum(state.params)),
+            "musum": float(tree_sum(state.opt_state.inner_state[0].mu)),
+            "bssum": float(tree_sum(state.batch_stats)),
+        }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    """VERDICT r4 #8: ONE real DQ train step (two, in fact) across 2
+    processes on the global dp x tp mesh must agree with the single-process
+    run — the _dryrun_impl parity assertion, distributed. f64 so any real
+    sharding/collective bug stands out above reduction noise."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src.config import enable_x64
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+    worker_py = tmp_path / "train_worker.py"
+    worker_py.write_text(_TRAIN_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if ".axon_site" not in str(v)}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        JAX_NUM_CPU_DEVICES="2",
+        PYTHONPATH=repo,
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), coordinator, str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"train worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        r = json.loads(line[len("RESULT "):])
+        results[r["pid"]] = r
+    assert results[0] == {**results[1], "pid": 0}, results
+
+    # single-process ground truth (identical config/seed/batch, this process)
+    from seld_tpu.config import SELDConfig
+    from seld_tpu.models import model_from_config
+    from seld_tpu.training import create_train_state, make_train_step
+
+    with enable_x64(True):
+        cfg = SELDConfig(
+            domain="DQ", domain_classifier="DQ", input_channels=8,
+            freq_dim=16, time_dim=16, cnn_filters=[8, 8, 8],
+            pool_size=[[2, 2], [2, 2], [2, 2]], pool_time="TCN", D=[2],
+            G=8, U=8, V=[8, 8], fc_layers=[8], batch_size=4, lr=1e-4,
+            attention_impl="full", use_bias_conv=False, use_bias_linear=True,
+        )
+        model = model_from_config(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 8, 16, 16)))
+        y = jnp.asarray((rng.uniform(size=(4, 2, 168)) < 0.1).astype(np.float64))
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+        step = make_train_step(model, tx, cfg)
+        state, loss1 = step(state, x, y)
+        state, loss2 = step(state, x, y)
+        tree_sum = lambda t: float(
+            jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b.astype(jnp.float64)), t, 0.0
+            )
+        )
+        np.testing.assert_allclose(results[0]["loss1"], float(loss1), rtol=1e-10)
+        np.testing.assert_allclose(results[0]["loss2"], float(loss2), rtol=1e-10)
+        np.testing.assert_allclose(
+            results[0]["psum"], tree_sum(state.params), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            results[0]["musum"],
+            tree_sum(state.opt_state.inner_state[0].mu), rtol=1e-8,
+        )
+        np.testing.assert_allclose(
+            results[0]["bssum"], tree_sum(state.batch_stats), rtol=1e-9
+        )
 
 
 def test_two_process_cpu_multihost(tmp_path):
