@@ -72,7 +72,8 @@ def measure_reference():
 
 def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
                 smallcin: str = "thin", donate: str = "auto",
-                timing: str = "sync", microbatch: int = 1):
+                timing: str = "sync", microbatch: int = 1,
+                audio_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -114,6 +115,22 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         "--donate on measures per-batch sync latency; --timing pipelined is "
         "unavailable in donated mode"
     )
+    # bf16 audio ingest (serving memory/bandwidth knob): the padless STFT
+    # kernel's FIRST op on the audio block is a cast to the bf16 compute
+    # dtype (ops/pallas/stft.py:144-146), so pre-casting on the host is
+    # BIT-IDENTICAL for the bf16 pipeline while halving both the held-audio
+    # HBM footprint (7.86 -> 3.93 GB at b128, the b128 ceiling's other half)
+    # and the STFT pass's HBM read.
+    np_audio_dtype = np.float32
+    if audio_dtype == "bfloat16":
+        assert dtype == "bfloat16" and impl == "fused", (
+            "--audio-dtype bfloat16 is bit-identical only on the bf16 fused "
+            "path (the f32 parity path computes the STFT in f32)"
+        )
+        assert not do_donate, "--audio-dtype bfloat16 + --donate on: unsupported"
+        import ml_dtypes
+
+        np_audio_dtype = ml_dtypes.bfloat16
     if do_donate:
         audio = None  # donated mode materializes audio on-device per iter
     else:
@@ -122,6 +139,7 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
             .standard_normal((batch, 8, sr * secs))
             .astype(np.float32)
             .reshape(audio_shape)
+            .astype(np_audio_dtype)
         )
     # init at batch 1: parameter shapes are batch-independent, and a
     # batch-sized zeros here would pin e.g. 3.77 GB at b96 for the whole
@@ -260,12 +278,14 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
 
 def main():
     ap = argparse.ArgumentParser()
-    # defaults = the serving configuration. batch 96: best measured
-    # throughput on one v5e (4.72 audio-h/s) — unlocked by the padless
-    # grouped-input STFT (no full-tensor pad/relayout copies) + batch-1
-    # XLA init (a batch-sized init input pinned 3.77 GB at b96).
+    # defaults = the serving configuration. batch 128, 2-microbatch scan
+    # frontend, bf16 audio ingest: best measured throughput on one v5e
+    # (5.156 audio-h/s, round 5). The round-4 b128 ceiling was structural
+    # (stage-1 CTH buffers + 7.86 GB held f32 audio); the scan caps the
+    # frontend buffers at one microbatch and the bf16 ingest — bit-identical,
+    # the STFT kernel's first op is that cast — halves the held audio.
     # Parity mode: --dtype float32 --batch 4. BENCH.md has the batch sweep.
-    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument(
@@ -291,10 +311,19 @@ def main():
         "speed knob — 'auto' resolves off, see BENCH.md round 4)",
     )
     ap.add_argument(
-        "--microbatch", type=int, default=1,
+        "--microbatch", type=int, default=None,
         help="scan the STFT + CNN frontend over this many microbatches "
         "inside the fused pipeline (memory knob for b128+; outputs "
-        "identical — BENCH.md round 5)",
+        "identical — BENCH.md round 5). Default: 2 for batch >= 128 on the "
+        "fused bf16 path, else 1",
+    )
+    ap.add_argument(
+        "--audio-dtype", type=str, default=None,
+        choices=["float32", "bfloat16"],
+        help="on-device audio buffer dtype for the fused bf16 path. The "
+        "padless STFT kernel casts audio to bf16 before any arithmetic, so "
+        "bfloat16 ingest is bit-identical while halving the held-audio HBM "
+        "footprint and the STFT's HBM read (BENCH.md round 5)",
     )
     ap.add_argument(
         "--timing", type=str, default="sync", choices=["sync", "pipelined"],
@@ -307,6 +336,13 @@ def main():
     args = ap.parse_args()
     if args.impl is None:
         args.impl = "fused" if args.dtype == "bfloat16" else "apply"
+    fused_bf16 = args.impl == "fused" and args.dtype == "bfloat16"
+    if args.microbatch is None:
+        args.microbatch = 2 if (fused_bf16 and args.batch >= 128) else 1
+    if args.audio_dtype is None:
+        args.audio_dtype = (
+            "bfloat16" if (fused_bf16 and args.donate != "on") else "float32"
+        )
 
     ref = REF_AUDIO_HOURS_PER_SEC
     if args.measure_ref:
@@ -315,7 +351,7 @@ def main():
 
     value, dt = measure_tpu(
         args.batch, args.iters, args.dtype, args.impl, args.dp, args.smallcin,
-        args.donate, args.timing, args.microbatch,
+        args.donate, args.timing, args.microbatch, args.audio_dtype,
     )
     print(
         f"batch={args.batch} dtype={args.dtype} impl={args.impl}: {dt*1000:.1f} ms per batch "

@@ -48,10 +48,16 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
     from seld_tpu.ops.pallas.stft import stft_group_size
 
     grp = stft_group_size(512, 112)
-    audio = jnp.asarray(
+    audio = (
         rng.standard_normal((batch, 8, 32000 * 60)).astype(np.float32)
         .reshape(batch, 8, (32000 * 60) // grp, grp)
     )
+    if os.environ.get("PT_AUDIO_DTYPE", "float32") == "bfloat16":
+        # bit-identical bf16 ingest (bench.py --audio-dtype, BENCH.md round 5)
+        import ml_dtypes
+
+        audio = audio.astype(ml_dtypes.bfloat16)
+    audio = jnp.asarray(audio)
     # init at batch 1 with pure-XLA impls (param-free Pallas kernels reject
     # batch 1; a batch-sized zeros would pin GBs for the whole trace)
     init_model = dataclasses.replace(
@@ -64,6 +70,7 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
     del x0
 
     layout = os.environ.get("PT_LAYOUT", "TF")  # TF (serving default) | FT
+    microbatch = int(os.environ.get("PT_MICROBATCH", "1"))
 
     @jax.jit
     def pipeline(variables, audio):
@@ -75,11 +82,17 @@ def build_serving(batch: int, dtype: str = "bfloat16"):
                 out_layout="FT", grouped_input=True,
             )
             return fused_infer(model, variables, feats, input_layout="BCFT")
-        feats = stft_mag_pallas(
-            audio, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
-            grouped_input=True,
+        # mirror bench.py's pipeline_fn exactly (featurize inside fused_infer
+        # so the microbatch scan covers the STFT too, and the persistent
+        # compile cache shared with bench runs can hit)
+        featurize = lambda a: stft_mag_pallas(
+            a, nperseg=512, noverlap=112, out_dtype=jnp.bfloat16,
+            grouped_input=a.ndim == 4,
         )
-        return fused_infer(model, variables, feats, input_layout="BCTF")
+        return fused_infer(
+            model, variables, audio, input_layout="BCTF",
+            smallcin_impl="thin", microbatch=microbatch, featurize=featurize,
+        )
 
     return lambda: pipeline(variables, audio)
 
