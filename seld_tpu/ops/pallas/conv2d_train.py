@@ -86,6 +86,17 @@ from seld_tpu.ops.pallas.conv2d_pool import (
     smallcin_window_spec,
 )
 
+def _cot_layout() -> str:
+    """How the dw kernel ingests the FTC cotangent: 'ct' = XLA relayout+pad
+    into the kernel's channel-on-sublane layout (the round-3/4 form), 'ftc' =
+    read the op's own (B, F', T, C) layout and transpose tiles in-kernel.
+    Env-switchable (SELD_TRAIN_COT) for on-chip A/B; default per BENCH.md
+    round 5."""
+    import os
+
+    return os.environ.get("SELD_TRAIN_COT", "ct")
+
+
 # backward tiles hold several live (cout, tt) f32 temporaries (running max,
 # taken mask, acc, routed grad) — use a narrower time block than serving's
 # forward so they fit in the 16 MB scoped-VMEM stack (1280 measured 17.6 MB
@@ -160,30 +171,39 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
     stay live in VMEM (3.9 MB at pf=8, cout=192, tt=640) — the previous
     two-loop form recomputed every conv a second time for the routing pass,
     and the b32 trace (BENCH.md round 4) put the two backward passes at
-    37.8 + 44.4 ms/step, dominated by exactly those K-dot recomputes."""
+    37.8 + 44.4 ms/step, dominated by exactly those K-dot recomputes.
+
+    Selection is a strict-> running argmax (round 5): ties keep the EARLIER
+    row, which is exactly reduce_window's first-match routing, and the
+    second loop's per-row work drops from recompute+equality+taken-chain to
+    one integer compare (the b32 trace put the dw pass at 54.5 ms, roughly
+    half of it VPU routing arithmetic)."""
     scale = s_ref[...]
     bias = b_ref[...]
     accs = [
         _conv_row(p_ref, w_ref, r, kg, stacked, precision, thin, tt)
         for r in range(pf)
     ]
-    m = None
-    for acc in accs:
-        y = jnp.maximum(acc * scale + bias, 0.0)
-        m = y if m is None else jnp.maximum(m, y)
-    taken = jnp.zeros(m.shape, jnp.bool_)
+    m = ridx = None
     for r, acc in enumerate(accs):
-        pre = acc * scale + bias
-        y = jnp.maximum(pre, 0.0)
-        hit = (y == m) & (~taken)
-        taken = taken | hit
-        g_pre = jnp.where(hit & (pre > 0.0), g, 0.0)
+        y = jnp.maximum(acc * scale + bias, 0.0)
+        if m is None:
+            m, ridx = y, jnp.zeros(y.shape, jnp.int32)
+        else:
+            better = y > m
+            m = jnp.where(better, y, m)
+            ridx = jnp.where(better, r, ridx)
+    # on the selected row y == m, and its ReLU gate (pre > 0) is m > 0
+    pos = m > 0.0
+    for r, acc in enumerate(accs):
+        g_pre = jnp.where((ridx == r) & pos, g, 0.0)
         yield r, g_pre, acc
 
 
 def _bwd_dw_kernel(
     p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, c1_ref, c2_ref, dw_ref,
     sg_ref, sgx_ref, *, pf, kg, tt, t, stacked, precision, thin=False,
+    g_ftc=False,
 ):
     @pl.when(_first_step())
     def _init():
@@ -195,25 +215,41 @@ def _bwd_dw_kernel(
     # the cotangent is zero — mask padded time columns (they are excluded
     # from the batch stats, and the pack's column t carries a dx-tap leak)
     mask = _valid_mask(tt, t)
-    g = g_ref[0, 0].astype(jnp.float32)
+    if g_ftc:
+        # the cotangent arrives in the op's own FTC layout — transpose the
+        # (tt, cout) tile in-kernel instead of paying the XLA relayout+pad
+        # (fusion.50 + pad.18 = 26.4 ms at b32, BENCH.md round-5 trace).
+        # Columns >= t read past the FTC array's time extent (the grid tiles
+        # tpad): garbage, zeroed by the mask here.
+        g = jnp.where(
+            mask, jnp.transpose(g_ref[0, 0].astype(jnp.float32), (1, 0)), 0.0
+        )
+    else:
+        g = g_ref[0, 0].astype(jnp.float32)
     scale = s_ref[...]
+    mu = mu_ref[...]
+    iv = iv_ref[...]
+    # g_z = scale*(g_pre - c1 - xhat*c2) with xhat = (acc-mu)*iv, refactored
+    # to two fused multiply-adds on per-channel columns (round-5 VPU slim):
+    # g_z = g_pre*scale - acc*A - B, A = iv*scale*c2, B = scale*c1 - mu*A
+    a_col = iv * scale * c2_ref[...]
+    b_col = scale * c1_ref[...] - mu * a_col
     dw = jnp.zeros_like(dw_ref)
     sg = jnp.zeros_like(sg_ref)
-    sgx = jnp.zeros_like(sgx_ref)
+    sga = jnp.zeros_like(sgx_ref)
     for r, g_pre, acc in _routed_rows(
         p_ref, w_ref, g, s_ref, b_ref, pf=pf, kg=kg, stacked=stacked,
         precision=precision, thin=thin, tt=tt,
     ):
-        xhat = (acc - mu_ref[...]) * iv_ref[...]
-        # EXACT S_g / S_gx from the routed f32 rows (ADVICE r4): the caller's
-        # XLA recovery of xhat from the bf16-rounded pooled output amplifies
-        # rounding by ~|beta/gamma| for small-gamma channels — here xhat comes
-        # from the f32 conv recompute, so dgamma/dbeta are exact in any dtype
-        # (and a gamma==0 channel keeps its true nonzero dgamma). g_pre is
-        # zero on padded columns (zero cotangent), no mask needed.
+        # EXACT S_g / S_gx from the routed f32 rows (ADVICE r4): xhat comes
+        # from the f32 conv recompute, so dgamma/dbeta are exact in any
+        # dtype (and a gamma==0 channel keeps its true nonzero dgamma).
+        # S_gx = sum(g_pre*xhat) = iv*(sum(g_pre*acc) - mu*sum(g_pre)) —
+        # accumulate sum(g_pre*acc) and derive, skipping the xhat tile.
+        # g_pre is zero on padded columns (zero cotangent), no mask needed.
         sg = sg + jnp.sum(g_pre, axis=1, keepdims=True)
-        sgx = sgx + jnp.sum(g_pre * xhat, axis=1, keepdims=True)
-        g_z = jnp.where(mask, scale * (g_pre - c1_ref[...] - xhat * c2_ref[...]), 0.0)
+        sga = sga + jnp.sum(g_pre * acc, axis=1, keepdims=True)
+        g_z = jnp.where(mask, g_pre * scale - acc * a_col - b_col, 0.0)
         stack = _row_stack(p_ref, r, kg, stacked, thin, tt, w_ref.dtype)
         dw = dw + jax.lax.dot_general(
             g_z.astype(stack.dtype) if stack.dtype == jnp.bfloat16 else g_z,
@@ -222,7 +258,83 @@ def _bwd_dw_kernel(
         )
     dw_ref[...] = dw_ref[...] + dw
     sg_ref[...] = sg_ref[...] + sg
-    sgx_ref[...] = sgx_ref[...] + sgx
+    sgx_ref[...] = sgx_ref[...] + iv * (sga - mu * sg)
+
+
+def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref, *, tt):
+    """Per-channel S_g / S_gx of the pooled-output recovery, tiled over the
+    op's own FTC output layout (B, F', T, C).
+
+    gsel = g where out > 0 (the maxpool-selected row's pre-activation equals
+    the pooled output wherever it is positive; zero-output positions carry
+    zero ReLU gradient). xhat_sel = out*p - q with p = inv/scale and
+    q = (bias/scale + mean)*inv precomputed per channel in XLA. Replaces the
+    round-4 XLA convert_reduce recovery, which the b32 trace measured at
+    27.4 ms — a 3.77 GB read at 138 GB/s through mismatched layouts
+    (BENCH.md round 5)."""
+
+    @pl.when(_first_step())
+    def _init():
+        sg_ref[...] = jnp.zeros_like(sg_ref)
+        sgx_ref[...] = jnp.zeros_like(sgx_ref)
+
+    o = o_ref[0, 0].astype(jnp.float32)  # (tt, C)
+    g = g_ref[0, 0].astype(jnp.float32)
+    gsel = jnp.where(o > 0.0, g, 0.0)
+    xhat = o * p_ref[...] - q_ref[...]
+    sg_ref[...] = sg_ref[...] + jnp.sum(gsel, axis=0, keepdims=True)
+    sgx_ref[...] = sgx_ref[...] + jnp.sum(gsel * xhat, axis=0, keepdims=True)
+
+
+def _sel_stats_tt(t: int) -> int:
+    """Largest sublane tile <= 1024 that is a multiple of 8 and divides t
+    (0 if none — caller falls back to the XLA recovery)."""
+    for tt in range(min(t, 1024), 7, -8):
+        if t % tt == 0:
+            return tt
+    return 0
+
+
+def _sel_stats_ftc(out, g_out, scale, bias, mean, inv, interpret):
+    """(sg, sgx) columns (C, 1) f32 via the Pallas reduction kernel; None if
+    the shape envelope does not hold (caller keeps the XLA recovery)."""
+    b, fo, t, c = out.shape
+    tt = t if interpret else _sel_stats_tt(t)
+    if tt == 0 or c % 8 != 0:
+        return None
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    p = (inv / safe).astype(jnp.float32).reshape(1, c)
+    q = ((bias / safe + mean) * inv).astype(jnp.float32).reshape(1, c)
+    # scale == 0 (gamma exactly 0): acc is unrecoverable from the output;
+    # zero that channel's xhat term — harmless, the g_z correction it feeds
+    # is multiplied by scale == 0 (dgamma/dbeta come from the dw kernel's
+    # exact accumulators)
+    p = jnp.where(scale.reshape(1, c) == 0.0, 0.0, p)
+    q = jnp.where(scale.reshape(1, c) == 0.0, 0.0, q)
+    row = lambda v: pl.BlockSpec(
+        (1, c), lambda bb, ff, ti: (0, 0), memory_space=pltpu.VMEM
+    )
+    io_spec = pl.BlockSpec(
+        (1, 1, tt, c), lambda bb, ff, ti: (bb, ff, ti, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sg, sgx = pl.pallas_call(
+        functools.partial(_sel_stats_kernel, tt=tt),
+        grid=(b, fo, t // tt),
+        in_specs=[io_spec, io_spec, row(p), row(q)],
+        out_specs=[row(None), row(None)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=7 * b * fo * t * c,
+            bytes_accessed=2 * b * fo * t * c * out.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(out, g_out, p, q)
+    return sg.reshape(c, 1), sgx.reshape(c, 1)
 
 
 def _col_spec(cout):
@@ -413,29 +525,49 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         # unrecoverable; the guard zeroes that channel's c2 — harmless, since
         # g_z multiplies the correction by scale == 0.
         cax = 2 if out_layout == "CT" else 3
-        cshape = [1, 1, 1, 1]
-        cshape[cax] = cout
-        colb = lambda v: v.astype(jnp.float32).reshape(cshape)
-        of = out.astype(jnp.float32)
-        safe_scale = jnp.where(scale == 0.0, 1.0, scale)
-        xhat_sel = ((of - colb(bias)) / colb(safe_scale) - colb(mean)) * colb(inv)
-        xhat_sel = jnp.where(colb(scale) == 0.0, 0.0, xhat_sel)
-        gsel = jnp.where(of > 0.0, g_out.astype(jnp.float32), 0.0)
-        axes = tuple(i for i in range(4) if i != cax)
-        sg = jnp.sum(gsel, axis=axes).reshape(cout, 1)
-        sgx = jnp.sum(gsel * xhat_sel, axis=axes).reshape(cout, 1)
+        pallas_stats = (
+            _sel_stats_ftc(out, g_out, scale, bias, mean, inv, interpret)
+            if out_layout != "CT"
+            else None
+        )
+        if pallas_stats is not None:
+            sg, sgx = pallas_stats
+        else:
+            cshape = [1, 1, 1, 1]
+            cshape[cax] = cout
+            colb = lambda v: v.astype(jnp.float32).reshape(cshape)
+            of = out.astype(jnp.float32)
+            safe_scale = jnp.where(scale == 0.0, 1.0, scale)
+            xhat_sel = ((of - colb(bias)) / colb(safe_scale) - colb(mean)) * colb(inv)
+            xhat_sel = jnp.where(colb(scale) == 0.0, 0.0, xhat_sel)
+            gsel = jnp.where(of > 0.0, g_out.astype(jnp.float32), 0.0)
+            axes = tuple(i for i in range(4) if i != cax)
+            sg = jnp.sum(gsel, axis=axes).reshape(cout, 1)
+            sgx = jnp.sum(gsel * xhat_sel, axis=axes).reshape(cout, 1)
 
         # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
         # time columns carry zero cotangent -> no contribution to the sums
+        use_g_ftc = (
+            out_layout != "CT" and not interpret
+            and _cot_layout() == "ftc"
+        )
         if out_layout == "CT":
             gt = g_out  # already kernel-layout; CT consumers zero cols >= t
+        elif use_g_ftc:
+            gt = g_out  # FTC as-is; the kernel transposes tiles + masks
         else:
             gt = jnp.transpose(g_out, (0, 1, 3, 2))
             gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
-        g_spec = pl.BlockSpec(
-            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
-            memory_space=pltpu.VMEM,
-        )
+        if use_g_ftc:
+            g_spec = pl.BlockSpec(
+                (1, 1, tt, cout), lambda b, fo, ti: (b, fo, ti, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            g_spec = pl.BlockSpec(
+                (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
+                memory_space=pltpu.VMEM,
+            )
 
         col = lambda v: v.astype(jnp.float32).reshape(cout, 1)
         common = (wk, col(scale), col(bias), col(mean), col(inv))
@@ -449,7 +581,7 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         dwk, sg_k, sgx_k = pl.pallas_call(
             functools.partial(
                 _bwd_dw_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
-                precision=precision, thin=thin,
+                precision=precision, thin=thin, g_ftc=use_g_ftc,
             ),
             grid=grid,
             in_specs=[p_spec, *common_specs, g_spec, _col_spec(cout), _col_spec(cout)],

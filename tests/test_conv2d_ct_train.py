@@ -98,6 +98,7 @@ def test_bf16_forward_close(case):
     )
 
 
+@pytest.mark.slow
 def test_model_ct_chain_matches_xla_frontend():
     """Full-model train steps with frontend_impl='pallas-ct-interpret'
     (stage 1 fused CT + widecin CT stages 2/3) must match the XLA frontend:

@@ -144,7 +144,9 @@ def test_pallas_model_matches_xla_model(rng):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
+    # the driver exercises this exact artifact every round (MULTICHIP_r*.json)
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

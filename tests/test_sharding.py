@@ -26,6 +26,7 @@ def test_eight_devices_available():
     assert jax.device_count() == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
 def test_sharded_train_step(rng, n_data, n_model):
     cfg = _cfg()
@@ -112,6 +113,7 @@ def test_shard_map_dp_step_matches_global(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_dp_step_with_bn_runs(rng):
     from seld_tpu.parallel.dp_step import make_dp_train_step, replicate_state
     from seld_tpu.training import create_train_state

@@ -36,6 +36,7 @@ def _cfg(tmp_path, **overrides):
     return SELDConfig(**base)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = _cfg(tmp_path)
@@ -68,6 +69,7 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
     assert len(results2["final_test"]) == 16
 
 
+@pytest.mark.slow
 def test_trainer_dq_with_unitnorm(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = _cfg(tmp_path, domain="DQ", domain_classifier="DQ",
@@ -163,6 +165,7 @@ def test_predict_cli_int16_wav_scaling(tmp_path, rng):
     assert np.max(np.abs(a_i)) <= 1.0
 
 
+@pytest.mark.slow
 def test_trainer_with_seldpak(tmp_path, monkeypatch):
     """The native .seldpak dataset path drives the trainer end-to-end."""
     from seld_tpu.data.native import pack_dataset

@@ -94,6 +94,7 @@ def test_train_step_decreases_loss(rng):
     assert int(state.step) == 12
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(rng):
     """grad_accum_steps=2 must reproduce the full-batch step when BN and
     dropout are off (gradient of a mean is linear; loss mean-of-means ==
@@ -127,6 +128,7 @@ def test_grad_accum_matches_full_batch(rng):
         assert int(sa.step) == 1
 
 
+@pytest.mark.slow
 def test_grad_accum_bn_dropout_runs(rng):
     """With BN + dropout on (the flagship setting), the accumulated step must
     run, chain running stats through the scan, and decrease the loss."""
@@ -153,6 +155,7 @@ def test_grad_accum_bn_dropout_runs(rng):
     assert moved
 
 
+@pytest.mark.slow
 def test_set_learning_rate_no_recompile(rng):
     cfg = _tiny_cfg()
     model = _tiny_model(cfg)
