@@ -23,17 +23,20 @@ layout, packed ONCE and saved as the sole large residual):
 
   backward (stage 1's input is the data — no dx needed, so the VJP is
   only dW, dgamma, dbeta):
-    [XLA]    pooled-output stats  S_g = sum(g_pre) (= dbeta) and
-                               S_gx = sum(g_pre * xhat) (= dgamma) WITHOUT
-                               any conv recompute: g_pre is nonzero only at
-                               the maxpool-selected row, and there (when
+    pass B1  _sel_stats_kernel pooled-output stats S_g = sum(g_pre) and
+                               S_gx = sum(g_pre * xhat) WITHOUT any conv
+                               recompute: g_pre is nonzero only at the
+                               maxpool-selected row, and there (when
                                out > 0) the selected pre-activation EQUALS
                                the saved pooled output, so acc_sel =
                                (out - bias)/scale recovers xhat_sel from
                                the forward output alone (round-4 attack:
-                               this deletes the former _bwd_stats_kernel
+                               this deleted the former _bwd_stats_kernel
                                pass — one full conv recompute + routing +
-                               pack re-read — per step)
+                               pack re-read — per step; round 5 moves the
+                               reduction itself from a 27.4 ms XLA
+                               convert_reduce into a Pallas pass over the
+                               raw CT (out, cotangent) pair, ~6.7 ms)
     pass B2  _bwd_dw_kernel    recompute conv once, apply the batch-stats
                                BN backward g_z = scale*(g_pre - S_g/N -
                                xhat*S_gx/N), accumulate
@@ -85,17 +88,6 @@ from seld_tpu.ops.pallas.conv2d_pool import (
     smallcin_unpack_dw,
     smallcin_window_spec,
 )
-
-def _cot_layout() -> str:
-    """How the dw kernel ingests the FTC cotangent: 'ct' = XLA relayout+pad
-    into the kernel's channel-on-sublane layout (the round-3/4 form), 'ftc' =
-    read the op's own (B, F', T, C) layout and transpose tiles in-kernel.
-    Env-switchable (SELD_TRAIN_COT) for on-chip A/B; default per BENCH.md
-    round 5."""
-    import os
-
-    return os.environ.get("SELD_TRAIN_COT", "ct")
-
 
 # backward tiles hold several live (cout, tt) f32 temporaries (running max,
 # taken mask, acc, routed grad) — use a narrower time block than serving's
@@ -203,7 +195,6 @@ def _routed_rows(p_ref, w_ref, g, s_ref, b_ref, *, pf, kg, stacked, precision,
 def _bwd_dw_kernel(
     p_ref, w_ref, s_ref, b_ref, mu_ref, iv_ref, g_ref, c1_ref, c2_ref, dw_ref,
     sg_ref, sgx_ref, *, pf, kg, tt, t, stacked, precision, thin=False,
-    g_ftc=False,
 ):
     @pl.when(_first_step())
     def _init():
@@ -215,17 +206,7 @@ def _bwd_dw_kernel(
     # the cotangent is zero — mask padded time columns (they are excluded
     # from the batch stats, and the pack's column t carries a dx-tap leak)
     mask = _valid_mask(tt, t)
-    if g_ftc:
-        # the cotangent arrives in the op's own FTC layout — transpose the
-        # (tt, cout) tile in-kernel instead of paying the XLA relayout+pad
-        # (fusion.50 + pad.18 = 26.4 ms at b32, BENCH.md round-5 trace).
-        # Columns >= t read past the FTC array's time extent (the grid tiles
-        # tpad): garbage, zeroed by the mask here.
-        g = jnp.where(
-            mask, jnp.transpose(g_ref[0, 0].astype(jnp.float32), (1, 0)), 0.0
-        )
-    else:
-        g = g_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
     scale = s_ref[...]
     mu = mu_ref[...]
     iv = iv_ref[...]
@@ -261,80 +242,85 @@ def _bwd_dw_kernel(
     sgx_ref[...] = sgx_ref[...] + iv * (sga - mu * sg)
 
 
-def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref, *, tt):
+def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref):
     """Per-channel S_g / S_gx of the pooled-output recovery, tiled over the
-    op's own FTC output layout (B, F', T, C).
+    F2 kernel's RAW channel-on-sublane layout (B, F', Cout, tpad).
 
     gsel = g where out > 0 (the maxpool-selected row's pre-activation equals
     the pooled output wherever it is positive; zero-output positions carry
-    zero ReLU gradient). xhat_sel = out*p - q with p = inv/scale and
-    q = (bias/scale + mean)*inv precomputed per channel in XLA. Replaces the
-    round-4 XLA convert_reduce recovery, which the b32 trace measured at
-    27.4 ms — a 3.77 GB read at 138 GB/s through mismatched layouts
-    (BENCH.md round 5)."""
+    zero ReLU gradient; padded time columns carry zero cotangent).
+    xhat_sel = out*p - q with p = inv/scale and q = (bias/scale + mean)*inv
+    precomputed per channel in XLA. Replaces the round-4 XLA convert_reduce
+    recovery (27.4 ms at b32 — 3.77 GB at 138 GB/s). Reading the raw CT
+    output + the CT-relayouted cotangent is load-bearing: both already
+    exist as default-layout buffers in the step (the dw kernel reads the
+    same gt; XLA's own recovery read the same raw out), so no layout pins
+    change — the round-5 FTC-operand variant pinned the op OUTPUT's layout
+    and disrupted global layout assignment (+70 ms of relayouts and
+    duplicated dropout fusions, BENCH.md)."""
 
     @pl.when(_first_step())
     def _init():
         sg_ref[...] = jnp.zeros_like(sg_ref)
         sgx_ref[...] = jnp.zeros_like(sgx_ref)
 
-    o = o_ref[0, 0].astype(jnp.float32)  # (tt, C)
+    o = o_ref[0, 0].astype(jnp.float32)  # (Cout, tt)
     g = g_ref[0, 0].astype(jnp.float32)
     gsel = jnp.where(o > 0.0, g, 0.0)
     xhat = o * p_ref[...] - q_ref[...]
-    sg_ref[...] = sg_ref[...] + jnp.sum(gsel, axis=0, keepdims=True)
-    sgx_ref[...] = sgx_ref[...] + jnp.sum(gsel * xhat, axis=0, keepdims=True)
+    sg_ref[...] = sg_ref[...] + jnp.sum(gsel, axis=1, keepdims=True)
+    sgx_ref[...] = sgx_ref[...] + jnp.sum(gsel * xhat, axis=1, keepdims=True)
 
 
-def _sel_stats_tt(t: int) -> int:
-    """Largest sublane tile <= 1024 that is a multiple of 8 and divides t
-    (0 if none — caller falls back to the XLA recovery)."""
-    for tt in range(min(t, 1024), 7, -8):
-        if t % tt == 0:
-            return tt
-    return 0
-
-
-def _sel_stats_ftc(out, g_out, scale, bias, mean, inv, interpret):
-    """(sg, sgx) columns (C, 1) f32 via the Pallas reduction kernel; None if
-    the shape envelope does not hold (caller keeps the XLA recovery)."""
-    b, fo, t, c = out.shape
-    tt = t if interpret else _sel_stats_tt(t)
-    if tt == 0 or c % 8 != 0:
-        return None
+def _sel_stats_ct(out_ct, gt, scale, bias, mean, inv, interpret, x_dtype):
+    """(sg, sgx) columns (C, 1) f32 via the Pallas reduction kernel over the
+    (B, F', Cout, tpad) pair; None if the envelope does not hold (caller
+    falls back to the XLA recovery)."""
+    b, fo, c, tpad = out_ct.shape
+    if interpret:
+        tt = tpad
+    else:
+        cap = 2560 if x_dtype == "bfloat16" else 1280
+        tt = 0
+        for cand in range(cap, 127, -128):
+            if tpad % cand == 0:
+                tt = cand
+                break
+        if tt == 0 or c % 8 != 0:
+            return None
     safe = jnp.where(scale == 0.0, 1.0, scale)
-    p = (inv / safe).astype(jnp.float32).reshape(1, c)
-    q = ((bias / safe + mean) * inv).astype(jnp.float32).reshape(1, c)
     # scale == 0 (gamma exactly 0): acc is unrecoverable from the output;
     # zero that channel's xhat term — harmless, the g_z correction it feeds
     # is multiplied by scale == 0 (dgamma/dbeta come from the dw kernel's
     # exact accumulators)
-    p = jnp.where(scale.reshape(1, c) == 0.0, 0.0, p)
-    q = jnp.where(scale.reshape(1, c) == 0.0, 0.0, q)
-    row = lambda v: pl.BlockSpec(
-        (1, c), lambda bb, ff, ti: (0, 0), memory_space=pltpu.VMEM
+    p = jnp.where(scale == 0.0, 0.0, inv / safe).astype(jnp.float32)
+    q = jnp.where(scale == 0.0, 0.0, (bias / safe + mean) * inv).astype(
+        jnp.float32
+    )
+    col = lambda: pl.BlockSpec(
+        (c, 1), lambda bb, ff, ti: (0, 0), memory_space=pltpu.VMEM
     )
     io_spec = pl.BlockSpec(
-        (1, 1, tt, c), lambda bb, ff, ti: (bb, ff, ti, 0),
+        (1, 1, c, tt), lambda bb, ff, ti: (bb, ff, 0, ti),
         memory_space=pltpu.VMEM,
     )
     sg, sgx = pl.pallas_call(
-        functools.partial(_sel_stats_kernel, tt=tt),
-        grid=(b, fo, t // tt),
-        in_specs=[io_spec, io_spec, row(p), row(q)],
-        out_specs=[row(None), row(None)],
+        _sel_stats_kernel,
+        grid=(b, fo, tpad // tt),
+        in_specs=[io_spec, io_spec, col(), col()],
+        out_specs=[col(), col()],
         out_shape=[
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=7 * b * fo * t * c,
-            bytes_accessed=2 * b * fo * t * c * out.dtype.itemsize,
+            flops=7 * b * fo * tpad * c,
+            bytes_accessed=2 * b * fo * tpad * c * out_ct.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(out, g_out, p, q)
-    return sg.reshape(c, 1), sgx.reshape(c, 1)
+    )(out_ct, gt, p.reshape(c, 1), q.reshape(c, 1))
+    return sg, sgx
 
 
 def _col_spec(cout):
@@ -495,9 +481,13 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
             out = out_ct  # (B, F//pf, Cout, tpad), cols >= t zeroed in-kernel
         else:
             out = jnp.transpose(out_ct[..., :t], (0, 1, 3, 2))  # (B, F//pf, T, Cout)
-        # `out` in the residuals aliases the op's own output (stage 2 keeps
-        # it live as ITS residual anyway) — no extra HBM footprint
-        return (out, mean, var), (p0, wk, mean, inv, scale, bias, out)
+        # residuals carry the RAW (B, F//pf, Cout, tpad) kernel output, not
+        # the transposed view: the backward's S_g/S_gx pass reads it in its
+        # native default layout (no layout pin on the op's OUTPUT — the
+        # round-5 FTC-operand attempt cost +70 ms of relayouts, BENCH.md).
+        # Same liveness as round 4: XLA's own recovery fusion also read the
+        # raw kernel output at backward time (b32 trace, fusion.20 inputs).
+        return (out, mean, var), (p0, wk, mean, inv, scale, bias, out_ct)
 
     @jax.custom_vjp
     def op(x, w, gamma, beta):
@@ -506,68 +496,55 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
 
     def vjp_bwd(res, cts):
         g_out, _g_mean, _g_var = cts  # mean/var feed running stats only
-        p0, wk, mean, inv, scale, bias, out = res
+        p0, wk, mean, inv, scale, bias, out_ct = res
         grid, p_spec, w_spec = _grid_and_specs(meta, pf, tt, interpret, thin)
         pin = smallcin_bands_stack(p0, pf) if interpret else p0
 
-        # S_g / S_gx from the pooled forward output, in plain XLA (no conv
-        # recompute, no routing, no pack re-read): g_pre is nonzero only at
-        # the maxpool-selected row AND where its pre-activation is positive —
+        # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
+        # time columns carry zero cotangent -> no contribution to the sums.
+        # (Feeding the dw kernel the FTC cotangent directly with an
+        # in-kernel tile transpose is a measured anti-result: +146 ms at
+        # b32, BENCH.md round 5.)
+        if out_layout == "CT":
+            gt = g_out  # already kernel-layout; CT consumers zero cols >= t
+        else:
+            gt = jnp.transpose(g_out, (0, 1, 3, 2))
+            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
+        g_spec = pl.BlockSpec(
+            (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
+            memory_space=pltpu.VMEM,
+        )
+
+        # S_g / S_gx from the pooled forward output (no conv recompute, no
+        # routing, no pack re-read): g_pre is nonzero only at the
+        # maxpool-selected row AND where its pre-activation is positive —
         # there y = pre = out, so acc_sel = (out - bias) / scale and
         # xhat_sel = (acc_sel - mean) * inv. Where out == 0 the selected
-        # row's ReLU gradient is zero (strict `pre > 0`), and padded CT time
-        # columns are zeroed in-kernel, so `out > 0` masks both. This is NOT
+        # row's ReLU gradient is zero (strict `pre > 0`), and padded time
+        # columns carry zero cotangent, so both are masked. This is NOT
         # the forbidden merged-backward decomposition (BENCH.md round 3): no
         # dot is split — B2 still subtracts inside the kernel before its dW
         # dot. These recovered sums feed ONLY the c1/c2 corrections; the
         # returned dgamma/dbeta come from the dw kernel's exact routed-f32
         # accumulators (ADVICE r4). scale == 0 (gamma exactly 0) makes acc
         # unrecoverable; the guard zeroes that channel's c2 — harmless, since
-        # g_z multiplies the correction by scale == 0.
-        cax = 2 if out_layout == "CT" else 3
-        pallas_stats = (
-            _sel_stats_ftc(out, g_out, scale, bias, mean, inv, interpret)
-            if out_layout != "CT"
-            else None
+        # g_z multiplies the correction by scale == 0. Both passes (pallas
+        # kernel or XLA fallback) read (out_ct, gt) — the raw CT pair that
+        # already exists in the step's dataflow.
+        pallas_stats = _sel_stats_ct(
+            out_ct, gt, scale, bias, mean, inv, interpret, x_dtype
         )
         if pallas_stats is not None:
             sg, sgx = pallas_stats
         else:
-            cshape = [1, 1, 1, 1]
-            cshape[cax] = cout
-            colb = lambda v: v.astype(jnp.float32).reshape(cshape)
-            of = out.astype(jnp.float32)
+            colb = lambda v: v.astype(jnp.float32).reshape(1, 1, cout, 1)
+            of = out_ct.astype(jnp.float32)
             safe_scale = jnp.where(scale == 0.0, 1.0, scale)
             xhat_sel = ((of - colb(bias)) / colb(safe_scale) - colb(mean)) * colb(inv)
             xhat_sel = jnp.where(colb(scale) == 0.0, 0.0, xhat_sel)
-            gsel = jnp.where(of > 0.0, g_out.astype(jnp.float32), 0.0)
-            axes = tuple(i for i in range(4) if i != cax)
-            sg = jnp.sum(gsel, axis=axes).reshape(cout, 1)
-            sgx = jnp.sum(gsel * xhat_sel, axis=axes).reshape(cout, 1)
-
-        # cotangent into the kernel's (B, F//pf, cout, tpad) layout; padded
-        # time columns carry zero cotangent -> no contribution to the sums
-        use_g_ftc = (
-            out_layout != "CT" and not interpret
-            and _cot_layout() == "ftc"
-        )
-        if out_layout == "CT":
-            gt = g_out  # already kernel-layout; CT consumers zero cols >= t
-        elif use_g_ftc:
-            gt = g_out  # FTC as-is; the kernel transposes tiles + masks
-        else:
-            gt = jnp.transpose(g_out, (0, 1, 3, 2))
-            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
-        if use_g_ftc:
-            g_spec = pl.BlockSpec(
-                (1, 1, tt, cout), lambda b, fo, ti: (b, fo, ti, 0),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            g_spec = pl.BlockSpec(
-                (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
-                memory_space=pltpu.VMEM,
-            )
+            gsel = jnp.where(of > 0.0, gt.astype(jnp.float32), 0.0)
+            sg = jnp.sum(gsel, axis=(0, 1, 3)).reshape(cout, 1)
+            sgx = jnp.sum(gsel * xhat_sel, axis=(0, 1, 3)).reshape(cout, 1)
 
         col = lambda v: v.astype(jnp.float32).reshape(cout, 1)
         common = (wk, col(scale), col(bias), col(mean), col(inv))
@@ -581,7 +558,7 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         dwk, sg_k, sgx_k = pl.pallas_call(
             functools.partial(
                 _bwd_dw_kernel, pf=pf, kg=kg, tt=tt, t=t, stacked=interpret,
-                precision=precision, thin=thin, g_ftc=use_g_ftc,
+                precision=precision, thin=thin,
             ),
             grid=grid,
             in_specs=[p_spec, *common_specs, g_spec, _col_spec(cout), _col_spec(cout)],
