@@ -432,7 +432,15 @@ class ConvTCBlock(nn.Module):
         gamma, beta = bn(
             jnp.zeros((1, 1, 1, c), x.dtype), None, None, return_params=True
         )
-        thin = self.frontend_impl.endswith("-thin") and x.shape[-1] <= 8
+        # 'auto' resolves the pack: thin for bf16 (round 5 overturned the
+        # round-3 anti-result — the slimmed single-recompute backward drops
+        # the wide pack's build+remat cost, b32 trace 450.0 -> 439.7 ms
+        # device; BENCH.md round 5), wide for f32 (unmeasured at f32, whose
+        # dw pass uses the narrower 384 time block).
+        thin = x.shape[-1] <= 8 and (
+            self.frontend_impl.endswith("-thin")
+            or (self.frontend_impl == "auto" and x.dtype == jnp.bfloat16)
+        )
         out, mean, var = conv2d_smallcin_bn_relu_fpool_train(
             x, w, gamma, beta, pool[0],
             interpret=self.frontend_impl.startswith("pallas-interpret"),

@@ -109,7 +109,9 @@ def build_train(batch: int, dtype: str = "bfloat16"):
     remat_env = os.environ.get("PT_REMAT", "auto")
     remat = (dtype == "float32") if remat_env == "auto" else remat_env == "1"
     model = dataclasses.replace(
-        _flagship_model(4800), compute_dtype=dtype, remat=remat
+        _flagship_model(4800), compute_dtype=dtype, remat=remat,
+        frontend_impl=os.environ.get("TB_FRONTEND", "auto"),
+        attention_impl=os.environ.get("TB_ATTN", "auto"),
     )
     cfg = SELDConfig(
         output_classes=14, class_overlaps=3, lr=1e-4,
