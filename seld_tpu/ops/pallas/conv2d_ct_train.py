@@ -56,11 +56,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _valid_cols(tt: int, t: int, lane0_off: int = 0):
-    """(1, tt) mask of global time columns < t for a tile starting at
-    program lane ti*tt - lane0_off."""
-    col0 = pl.program_id(2) * tt - lane0_off
-    idx = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+def _valid_cols(width: int, t: int, lane0_off: int = 0, stride: int = None):
+    """(1, width) mask of global time columns in [0, t) for a tile whose
+    column 0 is global ti*stride - lane0_off.
+
+    ``stride`` defaults to ``width`` (the fwd/stats/dw kernels, whose value
+    width equals the grid's tile stride). The dx kernel computes width
+    tt + 2 over a stride-tt grid — passing the halo'd width as the stride
+    was a real compiled-only bug (the mask origin drifted +2 columns per
+    tile, mis-zeroing two g_z columns at every t-boundary tile; interpret
+    mode runs a single tile and never saw it — caught by
+    check_pallas_compile's execute-and-compare, round 5)."""
+    stride = width if stride is None else stride
+    col0 = pl.program_id(2) * stride - lane0_off
+    idx = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
     return (idx < t) & (idx >= 0)
 
 
@@ -215,7 +224,7 @@ def _ct_dx_kernel(
     n = tt + 2
     # validity of g_z columns: global col for local j in [0, n) is
     # ti*tt - 1 + j; out-of-range conv ROWS are zeroed per group below
-    mask = _valid_cols(n, t, lane0_off=1)
+    mask = _valid_cols(n, t, lane0_off=1, stride=tt)
 
     gz = []  # g_z for conv rows (fo-1)*pf + pf - 1 .. (fo+1)*pf  (pf+2 rows)
     for gg in range(3):  # pool groups fo-1, fo, fo+1

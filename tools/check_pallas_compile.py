@@ -336,15 +336,25 @@ def exec_ct_train_stage_vs_xla():
 
     rng = np.random.default_rng(5)
     b, f, t, c, cout, pf = 2, 16, 640, 16, 32, 8
-    x = jnp.asarray(rng.standard_normal((b, f, t, c)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.1)
+    # bf16 inputs: the CT train chain's support envelope is bf16-only
+    # (Mosaic lowers f32 dots bf16-truncated — BENCH.md round-3
+    # merged-backward anti-result; at f32 this check's dw error is ~4e-2
+    # relative by truncation alone, which is the path's documented
+    # limitation, not a kernel bug). The oracle runs f32-HIGHEST on the
+    # same bf16-rounded inputs. Round 5: this check caught a REAL
+    # compiled-only dx-mask bug (dh rel ~0.5 at any dtype) the
+    # single-tile interpret tests cannot see.
+    x = jnp.asarray(rng.standard_normal((b, f, t, c)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
     gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(cout).astype(np.float32))
     beta = jnp.asarray(0.1 * rng.standard_normal(cout).astype(np.float32))
 
     def oracle(x, w, gamma, beta):
         y = jax.lax.conv_general_dilated(
-            x, w, (1, 1), [(1, 1), (1, 1)],
+            x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+            [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         mean = jnp.mean(y, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(y - mean), axis=(0, 1, 2))
@@ -373,13 +383,20 @@ def exec_ct_train_stage_vs_xla():
         (lf, of), gf = jax.jit(
             jax.value_and_grad(loss(fused), argnums=(0, 1, 2, 3), has_aux=True)
         )(x, w, gamma, beta)
-        np.testing.assert_allclose(np.asarray(of), np.asarray(oo), atol=2e-4, rtol=1e-4)
+        # bf16 tolerances (chip-measured post-dx-fix: out rel 2.9e-3, grad
+        # rels <= 7.3e-3 — the broken dx mask showed as dh rel ~0.5 here)
+        sc_o = float(np.abs(np.asarray(oo, np.float32)).max()) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(of, np.float32), np.asarray(oo, np.float32),
+            atol=1e-2 * sc_o,
+        )
         for name, a, b_ in zip(("dh", "dw", "dgamma", "dbeta"), gf, go):
-            scale = float(np.abs(np.asarray(b_)).max()) or 1.0
+            scale = float(np.abs(np.asarray(b_, np.float32)).max()) or 1.0
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=2e-4 * scale, err_msg=name
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                atol=3e-2 * scale, err_msg=name,
             )
-        print("OK    CT train-stage fwd+VJP (incl dh) EXECUTES == XLA oracle", flush=True)
+        print("OK    CT train-stage fwd+VJP (incl dh) EXECUTES == XLA oracle (bf16)", flush=True)
     except Exception as e:
         msg = str(e).splitlines()[0][:200]
         print(f"FAIL  CT train-stage execute-and-compare: {msg}", flush=True)
