@@ -204,9 +204,12 @@ def _bwd_dw_kernel(
 
     # the BN-backward correction terms (-c1 - xhat*c2) are nonzero even where
     # the cotangent is zero — mask padded time columns (they are excluded
-    # from the batch stats, and the pack's column t carries a dx-tap leak)
+    # from the batch stats, and the pack's column t carries a dx-tap leak).
+    # The mask also zeroes the cotangent itself: the FTC cotangent arrives
+    # UNPADDED (round 5 deleted the 1.97 GB XLA pad — the grid's last time
+    # tile reads past the array's t columns, garbage until masked here).
     mask = _valid_mask(tt, t)
-    g = g_ref[0, 0].astype(jnp.float32)
+    g = jnp.where(mask, g_ref[0, 0].astype(jnp.float32), 0.0)
     scale = s_ref[...]
     mu = mu_ref[...]
     iv = iv_ref[...]
@@ -242,7 +245,7 @@ def _bwd_dw_kernel(
     sgx_ref[...] = sgx_ref[...] + iv * (sga - mu * sg)
 
 
-def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref):
+def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref, *, tt, t):
     """Per-channel S_g / S_gx of the pooled-output recovery, tiled over the
     F2 kernel's RAW channel-on-sublane layout (B, F', Cout, tpad).
 
@@ -265,14 +268,19 @@ def _sel_stats_kernel(o_ref, g_ref, p_ref, q_ref, sg_ref, sgx_ref):
         sgx_ref[...] = jnp.zeros_like(sgx_ref)
 
     o = o_ref[0, 0].astype(jnp.float32)  # (Cout, tt)
-    g = g_ref[0, 0].astype(jnp.float32)
+    # the cotangent arrives UNPADDED in the FTC mode (round 5): columns
+    # >= t are an out-of-bounds garbage read on the last tile — mask them
+    # (this also keeps garbage raw-out columns from selecting anything)
+    col0 = pl.program_id(2) * tt
+    valid = (col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)) < t
+    g = jnp.where(valid, g_ref[0, 0].astype(jnp.float32), 0.0)
     gsel = jnp.where(o > 0.0, g, 0.0)
     xhat = o * p_ref[...] - q_ref[...]
     sg_ref[...] = sg_ref[...] + jnp.sum(gsel, axis=1, keepdims=True)
     sgx_ref[...] = sgx_ref[...] + jnp.sum(gsel * xhat, axis=1, keepdims=True)
 
 
-def _sel_stats_ct(out_ct, gt, scale, bias, mean, inv, interpret, x_dtype):
+def _sel_stats_ct(out_ct, gt, t, scale, bias, mean, inv, interpret, x_dtype):
     """(sg, sgx) columns (C, 1) f32 via the Pallas reduction kernel over the
     (B, F', Cout, tpad) pair; None if the envelope does not hold (caller
     falls back to the XLA recovery)."""
@@ -305,7 +313,7 @@ def _sel_stats_ct(out_ct, gt, scale, bias, mean, inv, interpret, x_dtype):
         memory_space=pltpu.VMEM,
     )
     sg, sgx = pl.pallas_call(
-        _sel_stats_kernel,
+        functools.partial(_sel_stats_kernel, tt=tt, t=t),
         grid=(b, fo, tpad // tt),
         in_specs=[io_spec, io_spec, col(), col()],
         out_specs=[col(), col()],
@@ -508,8 +516,15 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         if out_layout == "CT":
             gt = g_out  # already kernel-layout; CT consumers zero cols >= t
         else:
+            # UNPADDED (B, F//pf, cout, t): the consuming kernels mask
+            # columns >= t in-block, so the last time tile's out-of-bounds
+            # read is harmless — the former XLA pad materialized a separate
+            # 1.97 GB buffer (pad.18, 5.9 ms at b32; BENCH.md round 5).
+            # Interpret mode keeps the pad (its whole-row blocks must be
+            # in-bounds).
             gt = jnp.transpose(g_out, (0, 1, 3, 2))
-            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
+            if interpret:
+                gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, tpad - t)))
         g_spec = pl.BlockSpec(
             (1, 1, cout, tt), lambda b, fo, ti: (b, fo, 0, ti),
             memory_space=pltpu.VMEM,
@@ -532,7 +547,7 @@ def _get_op(x_shape, x_dtype, cout, pool_f, eps, interpret, precision,
         # kernel or XLA fallback) read (out_ct, gt) — the raw CT pair that
         # already exists in the step's dataflow.
         pallas_stats = _sel_stats_ct(
-            out_ct, gt, scale, bias, mean, inv, interpret, x_dtype
+            out_ct, gt, t, scale, bias, mean, inv, interpret, x_dtype
         )
         if pallas_stats is not None:
             sg, sgx = pallas_stats
