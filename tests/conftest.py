@@ -12,8 +12,26 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
-# persistent compilation cache cuts repeat test-suite wall time drastically
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# persistent compilation cache cuts repeat test-suite wall time drastically.
+# The path is machine-fingerprinted: sessions migrate between heterogeneous
+# nodes here, and XLA:CPU AOT entries from a different node can SIGILL
+# (round 5: a 2-process train step crashed mid-collective on a stale entry;
+# see seld_tpu/utils/cache.py).
+import hashlib as _hashlib
+
+_flags = b""
+try:
+    with open("/proc/cpuinfo", "rb") as _f:
+        for _line in _f:
+            if _line.startswith(b"flags"):
+                _flags = _line.strip()
+                break
+except OSError:
+    pass
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_test_cache_{_hashlib.md5(_flags).hexdigest()[:8]}",
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -165,7 +165,9 @@ def test_two_process_train_step(tmp_path):
         JAX_PLATFORMS="cpu",
         JAX_NUM_CPU_DEVICES="2",
         PYTHONPATH=repo,
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+        # inherit the conftest's machine-fingerprinted cache path (stale
+        # cross-node XLA:CPU AOT entries can SIGILL — utils/cache.py)
+        JAX_COMPILATION_CACHE_DIR=os.environ["JAX_COMPILATION_CACHE_DIR"],
     )
     procs = [
         subprocess.Popen(
@@ -239,7 +241,9 @@ def test_two_process_cpu_multihost(tmp_path):
         JAX_PLATFORMS="cpu",
         JAX_NUM_CPU_DEVICES="2",
         PYTHONPATH=repo,
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+        # inherit the conftest's machine-fingerprinted cache path (stale
+        # cross-node XLA:CPU AOT entries can SIGILL — utils/cache.py)
+        JAX_COMPILATION_CACHE_DIR=os.environ["JAX_COMPILATION_CACHE_DIR"],
     )
     procs = [
         subprocess.Popen(
