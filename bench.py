@@ -127,7 +127,6 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
             "--audio-dtype bfloat16 is bit-identical only on the bf16 fused "
             "path (the f32 parity path computes the STFT in f32)"
         )
-        assert not do_donate, "--audio-dtype bfloat16 + --donate on: unsupported"
         import ml_dtypes
 
         np_audio_dtype = ml_dtypes.bfloat16
@@ -209,10 +208,13 @@ def measure_tpu(batch: int, iters: int, dtype: str, impl: str, dp: int = 1,
         pipeline = jax.jit(pipeline_fn, donate_argnums=(1,))
         shape = audio_shape
 
+        fdt = jnp.bfloat16 if audio_dtype == "bfloat16" else jnp.float32
+
         @jax.jit
         def fill(i):
             t = jax.lax.broadcasted_iota(jnp.float32, shape, len(shape) - 1)
-            return jnp.mod(t * 0.137 + i.astype(jnp.float32) * 0.61, 2.0) - 1.0
+            a = jnp.mod(t * 0.137 + i.astype(jnp.float32) * 0.61, 2.0) - 1.0
+            return a.astype(fdt)
 
         tiny = jax.jit(lambda a: a.ravel()[:64])
         idx = jnp.arange(iters + 2)
@@ -341,7 +343,7 @@ def main():
         args.microbatch = 2 if (fused_bf16 and args.batch >= 128) else 1
     if args.audio_dtype is None:
         args.audio_dtype = (
-            "bfloat16" if (fused_bf16 and args.donate != "on") else "float32"
+            "bfloat16" if fused_bf16 else "float32"
         )
 
     ref = REF_AUDIO_HOURS_PER_SEC
