@@ -58,7 +58,27 @@ def initialize(
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
+    barrier("seld_tpu_init")
     return True
+
+
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Rendezvous all processes on the coordination-service barrier.
+
+    Unlike ``multihost_utils.sync_global_devices`` (a GLOO allgather on CPU
+    backends), this is a pure coordination-service RPC with a configurable
+    timeout. Gloo's context bring-up has a HARD ~30 s key-exchange window,
+    so any first collective must be reached by all processes within 30 s of
+    each other — on loaded hosts (or with multi-minute cold compiles) that
+    window is easily blown (observed: "Gloo context initialization failed:
+    DEADLINE_EXCEEDED ... 30s", round 5). Call this before the first
+    collective and after local compiles so every gloo handshake happens
+    with seconds of skew."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
 
 
 def process_info() -> Tuple[int, int]:

@@ -3,12 +3,16 @@
 XLA:CPU AOT cache entries are stamped with the *compiling* machine's CPU
 features; loading them on a host with different features is only a warning
 ("could lead to execution errors such as SIGILL") — and in this
-environment sessions DO migrate between heterogeneous nodes. Round 5
-measured the failure mode: a 2-process CPU train step crashed mid-collective
-after loading an entry compiled on an AMX-capable node (the surviving
-worker's coordination barrier then timed out), and a fresh cache fixed it.
-Suffixing the cache path with a hash of /proc/cpuinfo's feature flags gives
-every distinct machine type its own cache.
+environment sessions DO migrate between heterogeneous nodes. Suffixing the
+cache path with a hash of /proc/cpuinfo's feature flags gives every
+distinct machine type its own cache, removing that risk class.
+
+(Historical note: round 5 initially attributed a 2-process CPU train-step
+crash to such a stale entry; the actual cause was gloo's hard ~30 s
+context key-exchange window vs. multi-minute compile skew — see
+``seld_tpu.parallel.multihost.barrier``. The loader warnings themselves
+are benign: XLA's own ``prefer-no-scatter/gather`` tuning attrs trip the
+feature comparison on every cached CPU AOT load.)
 """
 
 from __future__ import annotations

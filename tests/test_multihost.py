@@ -115,6 +115,10 @@ _TRAIN_WORKER = textwrap.dedent(
         )
         state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
         step = make_train_step(model, tx, cfg)
+        # device_put with a multiprocess sharding runs jax's internal
+        # cross-process assert_equal — an allgather, i.e. the first
+        # gloo-touching op; rendezvous first (30 s gloo window, see below)
+        multihost.barrier("pre-shard")
         state = state.replace(
             params=shard_variables(mesh, state.params),
             batch_stats=shard_variables(mesh, state.batch_stats),
@@ -124,6 +128,17 @@ _TRAIN_WORKER = textwrap.dedent(
         lo, hi = pid * 2, pid * 2 + 2
         xg, yg = multihost.global_batch(mesh, np.asarray(x[lo:hi]),
                                         np.asarray(y[lo:hi]))
+        # Compile LOCALLY first, then rendezvous on the coordination-service
+        # barrier (long timeout, multihost.barrier) before executing: the
+        # first EXECUTION initializes the Gloo contexts with a hard 30 s
+        # key-exchange window, and the multi-minute f64 compiles on this
+        # 1-core host otherwise skew the two workers far past it (observed:
+        # "Gloo context initialization failed: DEADLINE_EXCEEDED ... 30s").
+        # warm the PERSISTENT compile cache (lower/compile is local); the
+        # jitted call below then recompiles from cache in seconds, so both
+        # workers reach the execution collectives right after the barrier
+        step.lower(state, xg, yg).compile()
+        multihost.barrier("compiled")
         state, loss1 = step(state, xg, yg)
         state, loss2 = step(state, xg, yg)
 
@@ -153,9 +168,6 @@ def test_two_process_train_step(tmp_path):
     import jax.numpy as jnp
     from jax._src.config import enable_x64
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        coordinator = f"127.0.0.1:{s.getsockname()[1]}"
     worker_py = tmp_path / "train_worker.py"
     worker_py.write_text(_TRAIN_WORKER)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -169,17 +181,37 @@ def test_two_process_train_step(tmp_path):
         # cross-node XLA:CPU AOT entries can SIGILL — utils/cache.py)
         JAX_COMPILATION_CACHE_DIR=os.environ["JAX_COMPILATION_CACHE_DIR"],
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker_py), coordinator, str(i)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+
+    def run_workers():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker_py), coordinator, str(i)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        report = "\n".join(
+            f"--- worker {i} rc={p.returncode} ---\n{o}\n{e}"
+            for i, (p, (o, e)) in enumerate(zip(procs, outs))
         )
-        for i in range(2)
-    ]
+        return [p.returncode for p in procs], outs, report
+
+    # One retry: the 2-process coordination-service bring-up is sensitive to
+    # this 1-core host's load (full-suite runs flaked where isolated runs
+    # pass consistently). Both workers' full output is reported on failure —
+    # a REAL sharding/parity bug fails both attempts identically.
+    rcs, outs, report = run_workers()
+    if any(rc != 0 for rc in rcs):
+        print(f"first 2-process attempt failed, retrying once:\n{report}")
+        rcs, outs, report = run_workers()
+    assert all(rc == 0 for rc in rcs), f"train workers failed:\n{report}"
     results = {}
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"train worker failed:\n{out}\n{err}"
+    for out, _err in outs:
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
         r = json.loads(line[len("RESULT "):])
         results[r["pid"]] = r
